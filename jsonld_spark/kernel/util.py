@@ -1,0 +1,113 @@
+"""Shared helpers for the JSON-LD kernels.
+
+Mirrors the reference's strict-typed deep-equality and merge helpers
+(reference: Processor.php:1275-1323 ``subtreeEquals``,
+Processor.php:2860-2897 ``mergeIntoProperty``,
+Processor.php:2825-2846 ``setProperty``).
+"""
+
+from __future__ import annotations
+
+from jsonld_spark.kernel.exceptions import JsonLdError
+
+
+def is_scalar(value) -> bool:
+    """PHP is_scalar: int/float/string/bool (not None, list, dict)."""
+    return isinstance(value, (str, int, float, bool)) and not isinstance(value, type(None))
+
+
+def scalar_equals(a, b) -> bool:
+    """Strict (===) scalar comparison: type AND value must match.
+
+    Python quirks handled: bool is an int subclass, and 1 == 1.0.
+    The reference compares with PHP === which distinguishes all of
+    int/float/bool/string.
+    """
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a is b
+    if type(a) is not type(b):
+        return False
+    return a == b
+
+
+def subtree_equals(a, b) -> bool:
+    """Deep structural equality; unlabeled blank nodes never compare
+    equal (they cannot be identified)."""
+    if a is None or b is None:
+        return a is None and b is None
+    if is_scalar(a) or is_scalar(b):
+        return scalar_equals(a, b)
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, list):
+        if len(a) != len(b):
+            return False
+        return all(subtree_equals(x, y) for x, y in zip(a, b))
+    # dict (node/value object)
+    if "@id" not in a and "@value" not in a and "@list" not in a:
+        return False  # blank nodes can never match
+    if len(a) != len(b):
+        return False
+    for key, value in a.items():
+        if key not in b or not subtree_equals(value, b[key]):
+            return False
+    return True
+
+
+def set_property(obj: dict, prop: str, value, error_code: str | None = None) -> None:
+    """Set a property, raising if it already holds a different value."""
+    if prop in obj and not subtree_equals(obj[prop], value):
+        raise JsonLdError(
+            error_code or JsonLdError.UNSPECIFIED,
+            f'Object already contains a property "{prop}".',
+        )
+    obj[prop] = value
+
+
+def merge_into_property(
+    obj: dict, prop: str, value, always_array: bool = False, unique: bool = False
+) -> None:
+    """Merge a value (or each element of a list) into obj[prop]."""
+    if value is None:
+        return
+    if isinstance(value, list):
+        # empty arrays are preserved in expansion
+        if not value and prop not in obj:
+            obj[prop] = []
+        for item in value:
+            merge_into_property(obj, prop, item, always_array, unique)
+        return
+    if prop in obj:
+        existing = obj[prop]
+        if not isinstance(existing, list):
+            existing = [existing]
+            obj[prop] = existing
+        if unique:
+            for item in existing:
+                if subtree_equals(item, value):
+                    return
+        existing.append(value)
+    else:
+        obj[prop] = [value] if always_array else value
+
+
+def php_ksort_keys(d: dict) -> list:
+    """Key order used at every deterministic iteration point.
+
+    PHP ``ksort`` with SORT_REGULAR compares numeric strings as
+    numbers; JSON-LD property keys are virtually always non-numeric,
+    so plain lexicographic order matches. Numeric-string keys (only
+    possible inside @index maps) get a numeric-aware order for parity.
+    """
+    keys = list(d.keys())
+
+    def sort_key(k):
+        try:
+            return (0, float(k), "")
+        except (TypeError, ValueError):
+            return (1, 0.0, k)
+
+    # Fast path: no numeric keys -> plain lexicographic (common case)
+    if all(sort_key(k)[0] == 1 for k in keys):
+        return sorted(keys)
+    return sorted(keys, key=sort_key)
