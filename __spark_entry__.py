@@ -1,38 +1,112 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG-construction pipeline; ``queries`` maps
+every implemented operator (SURVEY.md §2 + the training-data pipeline
+ops) to a (spark, sf_dir) callable; ``oracle_sql`` returns the exact
+DuckDB SQL golden for each — generated from the same shared constants
+the Spark operators use (jsonld_spark/sources/*), so both sides derive
+from a single source of truth.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events-derived transcripts -> mention detection ->
+    entity linking -> JSON-LD expansion -> node map -> toRdf ->
+    canonicalized, deduplicated triple set."""
+    from jsonld_spark.operators.kg_pipeline import kg_triples
+
+    return kg_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from jsonld_spark.operators import (
+        dedup,
+        kg_queries,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
+    from jsonld_spark.operators.kg_pipeline import kg_triples, nquads_lines
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- KG construction pipeline (the reference's capabilities) ---
+        "kg_triples": kg_triples,
+        "kg_nquads": lambda spark, sf: nquads_lines(kg_triples(spark, sf)),
+        "kg_mention_links": kg_queries.mention_links,
+        "kg_entity_mentions": kg_queries.entity_mention_counts,
+        "kg_conversation_stats": kg_queries.conversation_stats,
+        "kg_adjacency": kg_queries.adjacency,
+        "kg_reverse_adjacency": kg_queries.reverse_adjacency,
+        # --- training-data pipeline: dedup ---
+        "dedup_exact": dedup.exact_duplicates,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_simhash": dedup.simhash_values,
+        "dedup_simhash_pairs": dedup.simhash_near_pairs,
+        # --- similarity search ---
+        "sim_brute_topk": similarity.brute_force_topk,
+        "sim_lsh_ann_topk": similarity.lsh_ann_topk,
+        "sim_embedding_neardup": similarity.embedding_near_duplicates,
+        # --- text analysis ---
+        "text_token_stats": text.token_stats,
+        "text_quality": text.quality_scores,
+        "text_langid": text.language_id,
+        "text_fingerprint": text.fingerprints,
+        # --- multimodal plumbing ---
+        "mm_payload_features": multimodal.payload_features,
+        "mm_decoded_features": lambda spark, sf: multimodal.decode_features(
+            multimodal.binary_assets(spark, sf),
+            decoder=multimodal.deterministic_fake_decoder,
+        ),
+        # --- relational operator anchors ---
+        "rel_pricing_summary": relational.pricing_summary,
+        "rel_top_orders": relational.top_unshipped_orders,
+        "rel_customers_without_orders": relational.customers_without_orders,
+        "rel_event_sessions": relational.event_sessions,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from jsonld_spark.operators import dedup, multimodal, relational, similarity, text
+    from jsonld_spark.sources import oracle as O
+
+    return {
+        "kg_triples": O.kg_triples_sql(),
+        "kg_nquads": O.kg_nquads_sql(),
+        "kg_mention_links": O.kg_mention_detection_sql(),
+        "kg_entity_mentions": O.kg_entity_mentions_sql(),
+        "kg_conversation_stats": O.kg_conversation_stats_sql(),
+        "kg_adjacency": O.kg_adjacency_sql(),
+        "kg_reverse_adjacency": O.kg_reverse_adjacency_sql(),
+        "dedup_exact": dedup.exact_duplicates_sql(),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),
+        "dedup_simhash": dedup.simhash_values_sql(),
+        "dedup_simhash_pairs": dedup.simhash_near_pairs_sql(),
+        "sim_brute_topk": similarity.brute_force_topk_sql(),
+        "sim_lsh_ann_topk": similarity.lsh_ann_topk_sql(),
+        "sim_embedding_neardup": similarity.embedding_near_duplicates_sql(),
+        "text_token_stats": text.token_stats_sql(),
+        "text_quality": text.quality_scores_sql(),
+        "text_langid": text.language_id_sql(),
+        "text_fingerprint": text.fingerprints_sql(),
+        "mm_payload_features": multimodal.payload_features_sql(),
+        "mm_decoded_features": multimodal.decoded_features_sql(),
+        "rel_pricing_summary": relational.pricing_summary_sql(),
+        "rel_top_orders": relational.top_unshipped_orders_sql(),
+        "rel_customers_without_orders": relational.customers_without_orders_sql(),
+        "rel_event_sessions": relational.event_sessions_sql(),
+    }

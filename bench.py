@@ -1,0 +1,114 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...}.
+
+Extra modes:
+  python bench.py --scaling   # run the flagship at local[8] and
+                              # local[32] on the same input and report
+                              # throughput + scaling efficiency
+                              # (sandbox proxy for N vs 4N executors,
+                              # BASELINE.md "Scaling efficiency")
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+# headline queries: the flagship pipeline + one per operator family
+HEADLINE = [
+    "kg_triples",
+    "kg_nquads",
+    "kg_entity_mentions",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "sim_lsh_ann_topk",
+    "text_quality",
+    "rel_pricing_summary",
+]
+
+
+def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    triple_count = 0
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.time()
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        if name == "kg_triples":
+            triple_count = n
+    return timings, triple_count
+
+
+def build_session(cores: int):
+    from jsonld_spark.plans.session import get_spark
+
+    return get_spark(
+        app_name=f"jsonld-spark-bench-{cores}",
+        cores=cores,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    if "--scaling" in sys.argv:
+        # same input, two parallelism levels (N=8 vs 4N=32 cores):
+        # the sandbox evidence for the north rule's N->4N efficiency
+        results = {}
+        for cores in (8, 32):
+            spark = build_session(cores)
+            from jsonld_spark.operators.kg_pipeline import kg_triples
+
+            df = kg_triples(spark, SF_DIR)
+            t0 = time.time()
+            n = df.count()
+            dt = time.time() - t0
+            results[cores] = {"sec": round(dt, 3), "triples": n,
+                              "triples_per_sec": round(n / dt, 1)}
+            spark.stop()
+        eff = (results[32]["triples_per_sec"] / results[8]["triples_per_sec"]) / 4.0
+        print(json.dumps({
+            "metric": "scaling_efficiency_8_to_32_cores",
+            "value": round(eff, 3),
+            "unit": "fraction",
+            "n_cores": results[8], "4n_cores": results[32],
+            "sf": sf,
+        }))
+        return
+
+    spark = build_session(CPUS)
+    t0 = time.time()
+    timings, triples = run_queries(spark, SF_DIR)
+    total = round(time.time() - t0, 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "kg_triples_rows": triples,
+        "kg_triples_per_sec": round(triples / timings["kg_triples"], 1)
+        if timings.get("kg_triples") else None,
+        "cores": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

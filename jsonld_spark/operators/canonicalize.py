@@ -1,0 +1,152 @@
+"""Blank-node canonicalization at scale.
+
+Two strategies (SURVEY.md §7.3 hard part #1):
+
+* **hash mode** (default, in kg_pipeline.canonicalize_bnodes): labels
+  derived from the stable (conv_id, turn_idx) key — zero shuffle,
+  zero coordination, collision-free, input-order-independent. This is
+  what runs at 10^12 turns.
+
+* **dense mode** (here): reference-parity ``_:bN`` numbering in the
+  global (conv_id, turn_idx, local_seq) order. A naive
+  ``row_number() over (ORDER BY ...)`` is a single-partition
+  bottleneck, so this uses the classic two-phase zipWithIndex:
+  range-repartition by the ordering key, count per partition, collect
+  the K counts to the driver, then assign base+local offsets in one
+  ordered pass per partition. The relabeling itself is a join back to
+  the quads — with optional key salting for skewed remap keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def two_phase_row_index(
+    df: DataFrame, order_cols: list[str], index_col: str = "idx", num_partitions: int | None = None
+) -> DataFrame:
+    """Assign a dense global 0-based index in ``order_cols`` order
+    without a global single-partition sort: range partition -> local
+    sort -> per-partition counts to driver -> base + local position."""
+    num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+    # phase 1: tiny aggregate — K rows to the driver
+    counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    bases, acc = {}, 0
+    for pid in sorted(counts):
+        bases[pid] = acc
+        acc += counts[pid]
+
+    schema = with_pid.schema.add(index_col, "long")
+    out_cols = [f.name for f in schema.fields]
+
+    def assign(iterator):
+        import pandas as pd
+
+        offset = None
+        local = 0
+        for pdf in iterator:
+            if offset is None and len(pdf):
+                offset = bases[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.copy()
+            pdf[index_col] = range(
+                (offset or 0) + local, (offset or 0) + local + len(pdf)
+            )
+            local += len(pdf)
+            yield pdf[out_cols]
+
+    return with_pid.mapInPandas(assign, schema).drop("_pid")
+
+
+def salt_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for head-key skew (north_rule): the
+    big side gets ``salt = pmod(hash(all cols), buckets)``; the small
+    side is exploded ``buckets`` ways so every (key, salt) pair finds
+    its match. Use when the small side is too big to broadcast and the
+    key histogram is skewed beyond what AQE's skew-join splitting
+    absorbs."""
+    big_salted = big.withColumn("_salt", F.pmod(F.xxhash64(*big.columns), F.lit(buckets)))
+    small_salted = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    joined = big_salted.join(small_salted, on + ["_salt"], how)
+    return joined.drop("_salt")
+
+
+def dense_bnode_labels(quads: DataFrame, order_cols=("conv_id", "turn_idx")) -> DataFrame:
+    """Reference-parity relabeling: document-local ``_:bK`` labels get
+    dense global ``_:bN`` numbers in (conv_id, turn_idx, K) order —
+    byte-identical to running the single-process kernel over the
+    documents in that order (Processor.php:2069-2079 semantics).
+    """
+    order_cols = list(order_cols)
+    is_bn = F.col("subject").startswith("_:") | (
+        (F.col("obj_kind") == "iri") & F.col("obj_value").startswith("_:")
+    ) | F.col("graph").startswith("_:")
+
+    # distinct local labels with their first-visit order key: the local
+    # counter K encodes in-document order, so (order_cols, K) is total
+    locals_ = (
+        quads.where(is_bn)
+        .select(
+            *order_cols,
+            F.explode(
+                F.array_compact(
+                    F.array(
+                        F.when(F.col("subject").startswith("_:"), F.col("subject")),
+                        F.when(
+                            (F.col("obj_kind") == "iri")
+                            & F.col("obj_value").startswith("_:"),
+                            F.col("obj_value"),
+                        ),
+                        F.when(F.col("graph").startswith("_:"), F.col("graph")),
+                    )
+                )
+            ).alias("local_label"),
+        )
+        .distinct()
+        .withColumn("local_seq", F.expr("CAST(substring(local_label, 4) AS INT)"))
+    )
+    mapping = two_phase_row_index(
+        locals_, order_cols + ["local_seq"], index_col="global_idx"
+    ).select(
+        *order_cols,
+        "local_label",
+        F.concat(F.lit("_:b"), F.col("global_idx")).alias("global_label"),
+    )
+
+    def remap(col_expr_name: str, cond):
+        m = mapping.withColumnRenamed("local_label", col_expr_name + "_local").withColumnRenamed(
+            "global_label", col_expr_name + "_global"
+        )
+        return m
+
+    out = quads
+    for col, cond in [
+        ("subject", F.col("subject").startswith("_:")),
+        ("obj_value", (F.col("obj_kind") == "iri") & F.col("obj_value").startswith("_:")),
+        ("graph", F.col("graph").startswith("_:")),
+    ]:
+        m = remap(col, cond)
+        out = out.join(
+            m,
+            [out[c] == m[c] for c in order_cols] + [out[col] == m[col + "_local"]],
+            "left",
+        ).select(
+            *[out[c] for c in out.columns if not c.endswith("_local") and not c.endswith("_global")],
+            m[col + "_global"],
+        )
+        out = out.withColumn(
+            col, F.coalesce(F.col(col + "_global"), F.col(col))
+        ).drop(col + "_global")
+    return out

@@ -1,0 +1,324 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four families, each a first-class pipeline component at 100 TB scale:
+
+* exact       — hash-groupBy on normalized text (one shuffle, AQE-skew safe)
+* ngram       — exact n-gram Jaccard via a shingle inverted index
+                (guaranteed-complete; the verification standard)
+* minhash_lsh — MinHash signatures + banded LSH bucketing for candidate
+                generation, then exact Jaccard verification of the
+                (tiny) candidate set — the scale path: candidate
+                generation touches each (doc, band) once instead of
+                all O(n^2) pairs
+* simhash     — 60-bit SimHash + pigeonhole block blocking (hamming<=3
+                implies >=1 of 4 equal 15-bit blocks), exact hamming
+                verify via bit_count(xor)
+
+Every step is integer/hash arithmetic reproducible in ANSI SQL, so each
+operator ships with an exact DuckDB oracle (`*_sql`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsonld_spark.plans.session import read_table
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.8
+NUM_MINHASH = 64
+LSH_BANDS = 16  # 16 bands x 4 rows
+SIMHASH_BITS = 60  # 15 hex digits of md5 -> fits a signed 64-bit int
+SIMHASH_BLOCKS = 4  # pigeonhole: hamming<=3 -> one of 4 blocks equal
+SIMHASH_MAX_HAMMING = 3
+
+
+# --- shingling -------------------------------------------------------------
+
+def _tokens_expr():
+    return F.split(F.lower(F.col("text")), " ")
+
+
+def with_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Add a deduplicated word-n-gram shingle array column."""
+    toks = _tokens_expr()
+    shingles = F.when(F.size(toks) >= n, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+        )
+    )).otherwise(F.array().cast("array<string>"))
+    return docs.withColumn("shingles", shingles)
+
+
+def _shingles_sql(n: int = SHINGLE_N) -> str:
+    parts = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(toks)-{n},-1)+2), "
+        f"i -> {parts}))"
+    )
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-duplicate grouping by md5 of normalized text."""
+    docs = read_table(spark, sf_dir, "documents")
+    key = F.md5(F.lower(F.col("text")))
+    grouped = (
+        docs.select(F.col("doc_id"), key.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("group_size"), F.min("doc_id").alias("canonical_doc"))
+    )
+    return (
+        docs.select("doc_id", key.alias("text_hash"))
+        .join(grouped, "text_hash")
+        .select(
+            "doc_id",
+            "text_hash",
+            "group_size",
+            (F.col("doc_id") != F.col("canonical_doc")).alias("is_duplicate"),
+        )
+    )
+
+
+def exact_duplicates_sql() -> str:
+    return """
+WITH h AS (SELECT doc_id, md5(lower(text)) AS text_hash FROM documents),
+g AS (SELECT text_hash, COUNT(*) AS group_size, MIN(doc_id) AS canonical FROM h GROUP BY 1)
+SELECT h.doc_id, h.text_hash, g.group_size, h.doc_id <> g.canonical AS is_duplicate
+FROM h JOIN g USING (text_hash)"""
+
+
+# --- exact n-gram jaccard (inverted index) ---------------------------------
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """All pairs with word-3-gram Jaccard >= threshold, via a shingle
+    inverted index: pairs sharing no shingle are never materialized.
+    At scale the ubiquitous-shingle heads would be df-capped; here the
+    exact semantics are kept so the oracle is exact too."""
+    docs = with_shingles(read_table(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "na", "nb")
+    )
+
+
+def ngram_jaccard_pairs_sql(threshold: float = JACCARD_THRESHOLD) -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_shingles_sql()}) AS s FROM docs),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {threshold}"""
+
+
+# --- minhash + LSH ---------------------------------------------------------
+
+def minhash_signatures(docs_with_shingles: DataFrame, num_hashes: int = NUM_MINHASH) -> DataFrame:
+    """doc_id -> array of minhash values. Hash family k is
+    xxhash64(k, shingle) — k perturbs the seed deterministically."""
+    sh = docs_with_shingles.select("doc_id", F.explode("shingles").alias("s"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(k), F.col("s"))).alias(f"h{k}") for k in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    num_hashes: int = NUM_MINHASH,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Candidate pairs from banded LSH, verified by exact Jaccard.
+
+    Scale behaviour: one shuffle to build signatures, one groupBy per
+    band bucket (map-side combinable), exact verification only on
+    bucket-collision pairs. Identical signatures (true duplicates) are
+    guaranteed to collide.
+    """
+    rows = num_hashes // bands
+    docs = with_shingles(read_table(spark, sf_dir, "documents"))
+    sig = minhash_signatures(docs, num_hashes)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification of the candidate set via shingle-array overlap
+    sets = docs.select("doc_id", "shingles")
+    verified = (
+        cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sa"), "doc_a")
+        .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sb"), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("uni", F.size(F.array_union("sa", "sb")))
+        .where(F.col("inter") / F.col("uni") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "inter", F.col("uni").alias("union_size"))
+
+
+def minhash_lsh_pairs_sql(threshold: float = JACCARD_THRESHOLD) -> str:
+    """Oracle: the complete >=threshold pair set by exact Jaccard.
+
+    LSH candidate generation is probabilistic in general, but with
+    64 hashes / 16 bands the per-pair miss probability at j>=0.8 is
+    ~2e-4 (and exactly 0 for identical texts); on the test corpus the
+    banded candidates are empirically complete, making the verified
+    output equal the exact pair set. A production run would quote
+    recall instead of equality.
+    """
+    return f"""
+WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_shingles_sql()}) AS s FROM docs),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_size
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {threshold}"""
+
+
+# --- simhash ---------------------------------------------------------------
+
+def simhash_bits_exprs(hash_col: str = "h") -> list:
+    """Per-token +-1 contribution expressions for each of 60 bits,
+    derived from the md5 hex digits in ``hash_col`` — pure integer
+    arithmetic, SQL-reproducible."""
+    exprs = []
+    for j in range(SIMHASH_BITS):
+        digit = j // 4
+        shift = 3 - (j % 4)
+        v = f"(instr('0123456789abcdef', substring({hash_col}, {digit + 1}, 1)) - 1)"
+        bit = f"(({v} div {2 ** shift}) % 2)"
+        exprs.append(F.expr(f"{bit} * 2 - 1").alias(f"c{j}"))
+    return exprs
+
+
+def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> 60-bit SimHash as a bigint."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens_expr()).alias("tok")).select(
+        "doc_id", F.md5("tok").alias("h")
+    )
+    contrib = toks.select("doc_id", *simhash_bits_exprs("h"))
+    sums = contrib.groupBy("doc_id").agg(
+        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
+    )
+    value = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        value = bit if value is None else value + bit
+    return sums.select("doc_id", value.cast("long").alias("simhash"))
+
+
+def simhash_values_sql() -> str:
+    contribs = []
+    for j in range(SIMHASH_BITS):
+        digit = j // 4
+        shift = 3 - (j % 4)
+        v = f"(strpos('0123456789abcdef', substring(md5(tok), {digit + 1}, 1)) - 1)"
+        contribs.append(f"SUM((CAST(floor({v} / {2 ** shift}) AS BIGINT) % 2) * 2 - 1) AS s{j}")
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+sums AS (SELECT doc_id, {", ".join(contribs)} FROM toks GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM sums"""
+
+
+def simhash_near_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming, found by equal-block
+    blocking (pigeonhole-complete for <= SIMHASH_BLOCKS-1 differing
+    bits) and verified with bit_count(xor)."""
+    sims = simhash_values(spark, sf_dir)
+    block_bits = SIMHASH_BITS // SIMHASH_BLOCKS
+    blocked = sims.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), block_bits * b).bitwiseAND(
+                        F.lit(2**block_bits - 1)
+                    )
+                    for b in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("block", "blockval"),
+    )
+    pairs = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.blockval") == F.col("b.blockval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def simhash_near_pairs_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    # oracle verifies via brute-force O(n^2) hamming — completeness check
+    return f"""
+WITH sims AS ({simhash_values_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""

@@ -1,0 +1,132 @@
+"""S1: batched mention detection, entity linking, and per-turn JSON-LD
+payload assembly — entirely JVM-side column expressions (no Python in
+the hot path; SURVEY.md §7.0 stage S1).
+
+Mention detection is a single vectorized ``regexp_extract_all`` against
+the alternation of all dictionary surfaces. Entity linking resolves
+each surface to the argmax-prior entity; because the canonical-entity
+dictionary is small and static it is resolved once on the driver and
+shipped as a *literal map expression* (cheaper than a broadcast join:
+zero shuffle, zero build side). ``link_mentions_join`` provides the
+broadcast-join variant for dynamic dictionaries.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jsonld_spark.sources import entities as E
+
+TURN_IRI_PREFIX = E.KG + "turn/"
+CONV_IRI_PREFIX = E.KG + "conv/"
+TOOL_IRI_PREFIX = E.KG + "tool/"
+
+# The static context for per-turn payloads; resolved once on the driver
+# and shared with the expansion kernel stage (SURVEY.md §1.3: contexts
+# are the schema; executors never process contexts).
+PIPELINE_CONTEXT = {
+    "@vocab": E.VOCAB,
+    "target": {"@type": "@id"},
+    "tool": {"@type": "@id"},
+    "inConversation": {"@type": "@id"},
+    "score": {"@type": "http://www.w3.org/2001/XMLSchema#double"},
+}
+
+
+def _link_map_expr():
+    """Literal MapType column: surface -> struct(entity_id, type_term, prior)."""
+    entries = []
+    for surface, row in sorted(E.resolved_link_map().items()):
+        entries.append(F.lit(surface))
+        entries.append(
+            F.struct(
+                F.lit(row["entity_id"]).alias("entity_id"),
+                F.lit(row["type_term"]).alias("type_term"),
+                F.lit(float(row["prior"])).alias("prior"),
+            )
+        )
+    return F.create_map(*entries)
+
+
+def detect_mentions(transcripts: DataFrame) -> DataFrame:
+    """transcripts -> one row per detected mention, in text order.
+
+    Output: (conv_id, turn_idx, rank, surface).
+    """
+    surfaces = F.regexp_extract_all("text", F.lit(E.surface_pattern()), 1)
+    return (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            F.posexplode(surfaces).alias("rank", "surface"),
+        )
+    )
+
+
+def link_mentions_join(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """Broadcast-join entity linking with argmax-prior resolution.
+
+    The dictionary (entity_id, surface, type_term, prior) is resolved
+    per surface (argmax prior, ties -> smallest entity_id) and then
+    broadcast — the big mention side never shuffles.
+    """
+    w = Window.partitionBy("surface").orderBy(F.desc("prior"), F.asc("entity_id"))
+    resolved = (
+        dictionary.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return mentions.join(F.broadcast(resolved), "surface", "left")
+
+
+def with_payload(transcripts: DataFrame) -> DataFrame:
+    """Attach turn/conv IRIs and the per-turn JSON-LD document.
+
+    Output: transcripts columns + (turn_iri, jsonld string).
+    """
+    link = _link_map_expr()
+    turn_iri = F.concat(
+        F.lit(TURN_IRI_PREFIX), F.col("conv_id"), F.lit("/"), F.col("turn_idx")
+    )
+    conv_iri = F.concat(F.lit(CONV_IRI_PREFIX), F.col("conv_id"))
+    surfaces = F.regexp_extract_all("text", F.lit(E.surface_pattern()), 1)
+
+    mentions = F.transform(
+        surfaces,
+        lambda s, i: F.struct(
+            F.lit("Mention").alias("@type"),
+            i.alias("rank"),
+            s.alias("surface"),
+            F.element_at(link, s)["prior"].alias("score"),
+            F.element_at(link, s)["entity_id"].alias("target"),
+        ),
+    )
+    entity_nodes = F.transform(
+        surfaces,
+        lambda s: F.struct(
+            F.element_at(link, s)["entity_id"].alias("@id"),
+            F.element_at(link, s)["type_term"].alias("@type"),
+            s.alias("label"),
+        ),
+    )
+
+    doc = F.to_json(
+        F.struct(
+            turn_iri.alias("@id"),
+            F.lit("Turn").alias("@type"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("atTime"),
+            conv_iri.alias("inConversation"),
+            F.col("role").alias("role"),
+            F.col("turn_idx").alias("turnIndex"),
+            F.col("text").alias("text"),
+            F.when(
+                F.col("tool").isNotNull(), F.concat(F.lit(TOOL_IRI_PREFIX), F.col("tool"))
+            ).alias("tool"),
+            mentions.alias("mentions"),
+            entity_nodes.alias("entities"),
+        )
+    )
+    return transcripts.withColumn("turn_iri", turn_iri).withColumn("jsonld", doc)

@@ -1,0 +1,184 @@
+"""S3-S7: expansion kernel stage, blank-node canonicalization, and the
+end-to-end transcripts -> triples pipeline (SURVEY.md §7.0).
+
+The only Python in the hot path is one Arrow-batched ``mapInPandas``
+stage running the pure kernels (tree recursion is not expressible in
+Catalyst); everything before it (extraction/payload) and after it
+(canonicalization, dedup, serialization) is native column expressions
+so Catalyst/AQE plan the shuffles.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsonld_spark.kernel.context import initial_context, process_context
+from jsonld_spark.kernel.expand import expand_element
+from jsonld_spark.kernel.nodemap import BlankNodeIssuer, build_node_map
+from jsonld_spark.kernel.rdf import node_map_to_quads
+from jsonld_spark.operators.extract import PIPELINE_CONTEXT, with_payload
+from jsonld_spark.sources.transcripts import transcripts_from_events
+
+QUAD_COLUMNS = ["graph", "subject", "predicate", "obj_kind", "obj_value", "obj_type", "obj_lang"]
+QUAD_SCHEMA = (
+    "conv_id string, turn_idx int, graph string, subject string, predicate string, "
+    "obj_kind string, obj_value string, obj_type string, obj_lang string"
+)
+
+
+def resolve_context(context: dict | None, base: str | None = None) -> dict:
+    """Resolve a JSON-LD context once on the driver (S2). The resolved
+    active context is a small dict, closure-captured into the kernel
+    stage (Spark ships it once per task via the serialized closure,
+    equivalent to an explicit broadcast at this size)."""
+    activectx = initial_context(base)
+    if context is not None:
+        process_context(context, activectx, base_iri=base)
+    return activectx
+
+
+def docs_to_quads(
+    docs: DataFrame,
+    context: dict | None = PIPELINE_CONTEXT,
+    base: str | None = None,
+    generalized_rdf: bool = False,
+    doc_col: str = "jsonld",
+) -> DataFrame:
+    """S3+S4: per-document expand -> node map -> quads, exploded 1->N.
+
+    Input needs (conv_id, turn_idx, <doc_col>); output one row per quad
+    with lineage columns (conv_id, turn_idx) and document-local
+    ``_:bN`` blank-node labels (deterministic per document).
+    """
+    from jsonld_spark.plans.session import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
+    activectx = resolve_context(context, base)
+
+    def emit(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, doc in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf[doc_col]
+            ):
+                if doc is None:
+                    continue
+                expanded = expand_element(json.loads(doc), activectx, None, False, None, base)
+                if isinstance(expanded, dict) and len(expanded) == 1 and "@graph" in expanded:
+                    expanded = expanded["@graph"]
+                if not isinstance(expanded, list):
+                    expanded = [] if expanded is None else [expanded]
+                issuer = BlankNodeIssuer()
+                node_map = build_node_map(expanded, issuer)
+                for quad in node_map_to_quads(node_map, issuer, generalized_rdf):
+                    rows.append((conv_id, turn_idx) + quad)
+            yield pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx"] + QUAD_COLUMNS
+            )
+
+    # Column pruning: ship only the three needed columns into Arrow
+    return docs.select("conv_id", "turn_idx", doc_col).mapInPandas(emit, QUAD_SCHEMA)
+
+
+def _relabel(col, key):
+    """'_:bN' -> '_:h<md5(conv/turn)>nN' — content-addressed, collision
+    free (128-bit key), requiring NO shuffle and no coordination: the
+    scale-correct analogue of URDNA2015-style deterministic relabeling.
+    """
+    c = F.col(col)
+    return F.when(
+        c.startswith("_:"),
+        F.concat(F.lit("_:h"), key, F.lit("n"), F.expr(f"substring({col}, 4)")),
+    ).otherwise(c)
+
+
+def canonicalize_bnodes(quads: DataFrame) -> DataFrame:
+    """S6 (hash mode): relabel document-local blank nodes to globally
+    unique, input-order-independent labels derived from the stable
+    (conv_id, turn_idx) key. Pure projection — zero shuffle; compare
+    ``dense_bnode_labels`` in operators/canonicalize.py for the
+    reference-parity ``_:bN`` dense numbering."""
+    key = F.md5(F.concat_ws("/", "conv_id", "turn_idx"))
+    out = quads.withColumn("subject", _relabel("subject", key)).withColumn("graph", _relabel("graph", key))
+    return out.withColumn(
+        "obj_value",
+        F.when(F.col("obj_kind") == "iri", _relabel("obj_value", key)).otherwise(
+            F.col("obj_value")
+        ),
+    )
+
+
+def distinct_triples(quads: DataFrame) -> DataFrame:
+    """Global set semantics over the canonical quad columns (the
+    cross-document analogue of mergeIntoProperty(unique=true),
+    Processor.php:2860-2897). This is the pipeline's main shuffle;
+    partial aggregation + AQE absorb the head-entity skew."""
+    return quads.select(*QUAD_COLUMNS).dropDuplicates(QUAD_COLUMNS)
+
+
+def transcripts_to_triples(
+    transcripts: DataFrame,
+    context: dict | None = PIPELINE_CONTEXT,
+    keep_lineage: bool = False,
+) -> DataFrame:
+    """Full S1->S7: transcripts -> canonical deduplicated triples."""
+    docs = with_payload(transcripts)
+    quads = docs_to_quads(docs, context=context)
+    quads = canonicalize_bnodes(quads)
+    if keep_lineage:
+        return quads
+    return distinct_triples(quads)
+
+
+def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query: events-derived transcripts -> triple set."""
+    return transcripts_to_triples(transcripts_from_events(spark, sf_dir))
+
+
+def nquads_lines(triples: DataFrame) -> DataFrame:
+    """Serialize triples to N-Quads lines as pure column expressions
+    (reference: NQuads.php:25-66 — bare ``_:`` bnodes, ``\\n``/``"``
+    escaping, ^^type except implied xsd:string, @lang, optional graph).
+    """
+    xsd_string = "http://www.w3.org/2001/XMLSchema#string"
+
+    def term(col):
+        c = F.col(col)
+        return F.when(c.startswith("_:"), c).otherwise(F.concat(F.lit("<"), c, F.lit(">")))
+
+    escaped = F.regexp_replace(
+        F.regexp_replace(F.col("obj_value"), F.lit("\n"), F.lit("\\\\n")),
+        F.lit('"'),
+        F.lit('\\\\"'),
+    )
+    obj = F.when(F.col("obj_kind") == "iri", term("obj_value")).otherwise(
+        F.concat(
+            F.lit('"'),
+            escaped,
+            F.lit('"'),
+            F.when(F.col("obj_lang").isNotNull(), F.concat(F.lit("@"), F.col("obj_lang")))
+            .when(
+                F.col("obj_type").isNotNull() & (F.col("obj_type") != xsd_string),
+                F.concat(F.lit("^^<"), F.col("obj_type"), F.lit(">")),
+            )
+            .otherwise(F.lit("")),
+        )
+    )
+    line = F.concat(
+        term("subject"),
+        F.lit(" "),
+        term("predicate"),
+        F.lit(" "),
+        obj,
+        F.lit(" "),
+        F.when(F.col("graph").isNotNull(), F.concat(term("graph"), F.lit(" "))).otherwise(
+            F.lit("")
+        ),
+        F.lit("."),
+    )
+    return triples.select(line.alias("line"))

@@ -1,0 +1,76 @@
+"""Analytical queries over the KG pipeline outputs (the engine's
+query surface: point lookups, adjacency, reverse adjacency,
+aggregation — SURVEY.md §2.3/§2.5 equivalents)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsonld_spark.operators.extract import _link_map_expr, detect_mentions
+from jsonld_spark.operators.kg_pipeline import kg_triples
+from jsonld_spark.sources.transcripts import transcripts_from_events
+
+
+def mention_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone mention detection + linking (S1+S5)."""
+    t = transcripts_from_events(spark, sf_dir)
+    link = _link_map_expr()
+    return detect_mentions(t).select(
+        "conv_id",
+        "turn_idx",
+        F.col("rank").cast("int").alias("rank"),
+        "surface",
+        F.element_at(link, F.col("surface"))["entity_id"].alias("entity_id"),
+    )
+
+
+def entity_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity mention aggregate — the head-skew groupBy (E0 carries
+    ~44% of mentions); Spark's partial aggregation absorbs the skew."""
+    return mention_links(spark, sf_dir).groupBy("entity_id").agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+def conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation rollup with the stable (conv_id, turn_idx)
+    ordering invariant feeding min/max."""
+    t = transcripts_from_events(spark, sf_dir)
+    n_mentions = F.size(F.split(F.col("text"), " then | after ")).alias("n_mentions")
+    return (
+        t.withColumn("n_mentions", n_mentions)
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("n_mentions").alias("total_mentions"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+def adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward adjacency summary keyed by subject (the materialized
+    adjacency table is this groupBy + collect_list; counts here keep
+    the oracle exact)."""
+    return kg_triples(spark, sf_dir).groupBy("subject").agg(
+        F.countDistinct("predicate").alias("n_predicates"),
+        F.count("*").alias("n_values"),
+    )
+
+
+def reverse_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse adjacency: who points at each node — the triple table
+    filtered by object, no back-pointer maintenance needed
+    (reference maintains these imperatively, Node.php:433-452)."""
+    tri = kg_triples(spark, sf_dir)
+    return (
+        tri.where(F.col("obj_kind") == "iri")
+        .groupBy(F.col("obj_value").alias("node"))
+        .agg(
+            F.countDistinct("subject").alias("n_in_subjects"),
+            F.count("*").alias("n_in_edges"),
+        )
+    )

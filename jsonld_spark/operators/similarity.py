@@ -1,0 +1,213 @@
+"""Similarity search over the ``embeddings`` table (array<float>).
+
+All scoring runs on *scalar-quantized* vectors (floor(x*1000) as int):
+integer dot products are exact and associative, so results are
+bit-identical across engines and partitionings — which makes every
+operator oracle-checkable, and mirrors the int8-quantization scale
+path real ANN systems use.
+
+* brute_force_topk — exact top-k per query via broadcast cross join
+  (the baseline; O(n*q), fine when q is small)
+* lsh_ann_topk     — random-hyperplane LSH: 2^P sign-buckets from P
+  deterministic integer hyperplanes; per-query search touches only its
+  bucket. The scale path: bucket assignment is one projection, the
+  join is bucket-equality instead of cross.
+* embedding_near_duplicates — cosine near-dup pairs within buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jsonld_spark.plans.session import read_table
+
+QUANT = 1000
+N_QUERIES = 10
+TOP_K = 5
+N_PLANES = 8
+DIM = 64
+NEAR_DUP_COSINE = 0.95
+
+
+def _quantized(col="embedding"):
+    # float -> double is exact; double*1000 and floor are IEEE-identical
+    # across engines, so quantization is reproducible bit-for-bit
+    return F.transform(F.col(col), lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
+
+
+def _quantized_sql(col="embedding"):
+    return f"list_transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+
+
+def hyperplane(p: int, dim: int = DIM) -> list[int]:
+    """Deterministic integer hyperplane p: coefficient j is derived
+    from md5, centered to [-8, 7] — shared with the SQL oracle."""
+    coeffs = []
+    for j in range(dim):
+        h = hashlib.md5(f"hp-{p}-{j}".encode()).hexdigest()
+        coeffs.append(int(h[:2], 16) % 16 - 8)
+    return coeffs
+
+
+def _dot_int(vec_col, coeffs: list[int]):
+    """Integer dot product of a quantized vector with constant coeffs."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.array(*[F.lit(c) for c in coeffs]),
+            lambda x, c: x * c,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _bucket_expr(qcol):
+    bucket = None
+    for p in range(N_PLANES):
+        bit = F.when(_dot_int(qcol, hyperplane(p)) > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def _pair_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def _norm2(a):
+    return F.aggregate(a, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+
+
+def with_buckets(embeddings: DataFrame) -> DataFrame:
+    q = _quantized()
+    return embeddings.select(
+        "vec_id", "label", q.alias("q"), _bucket_expr(q).alias("bucket")
+    )
+
+
+def brute_force_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Exact top-k cosine neighbours for the first ``n_queries``
+    vectors (quantized integer scoring; rank ties break on vec_id)."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", _quantized().alias("q"))
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).where(F.col("vec_id") != F.col("query_id"))
+    cos = _pair_dot(F.col("q"), F.col("qq")) / F.sqrt(
+        _norm2(F.col("q")) * _norm2(F.col("qq"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+def brute_force_topk_sql(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, {_quantized_sql()} AS q FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.q, q.q) /
+           sqrt(list_dot_product(e.q, e.q) * list_dot_product(q.q, q.q)) AS cosine
+  FROM emb e, emb q
+  WHERE q.vec_id < {n_queries} AND e.vec_id <> q.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM ranked WHERE rank <= {k}"""
+
+
+def _bucket_sql() -> str:
+    parts = []
+    for p in range(N_PLANES):
+        coeffs = ", ".join(str(c) for c in hyperplane(p))
+        parts.append(
+            f"(CASE WHEN list_dot_product(q, [{coeffs}]) > 0 THEN {2 ** p} ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
+def lsh_ann_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Approximate top-k: exact ranking restricted to the query's LSH
+    bucket. Deterministic (integer hyperplanes), so the oracle can
+    reproduce the same approximation exactly."""
+    emb = with_buckets(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("bucket").alias("qb")
+    )
+    scored = emb.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = _pair_dot(F.col("q"), F.col("qq")) / F.sqrt(
+        _norm2(F.col("q")) * _norm2(F.col("qq"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+def lsh_ann_topk_sql(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, {_quantized_sql()} AS q FROM embeddings),
+b AS (SELECT vec_id, q, {_bucket_sql()} AS bucket FROM emb),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.q, q.q) /
+           sqrt(list_dot_product(e.q, e.q) * list_dot_product(q.q, q.q)) AS cosine
+  FROM b e JOIN b q ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+  WHERE q.vec_id < {n_queries}),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM ranked WHERE rank <= {k}"""
+
+
+def embedding_near_duplicates(
+    spark: SparkSession, sf_dir: str, threshold: float = NEAR_DUP_COSINE
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within LSH buckets."""
+    emb = with_buckets(read_table(spark, sf_dir, "embeddings"))
+    pairs = (
+        emb.alias("a")
+        .join(
+            emb.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cosine",
+            _pair_dot(F.col("a.q"), F.col("b.q"))
+            / F.sqrt(_norm2(F.col("a.q")) * _norm2(F.col("b.q"))),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+    return pairs
+
+
+def embedding_near_duplicates_sql(threshold: float = NEAR_DUP_COSINE) -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, {_quantized_sql()} AS q FROM embeddings),
+bk AS (SELECT vec_id, q, {_bucket_sql()} AS bucket FROM emb)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE list_dot_product(x.q, y.q) /
+      sqrt(list_dot_product(x.q, x.q) * list_dot_product(y.q, y.q)) >= {threshold}"""
