@@ -41,7 +41,11 @@ def two_phase_row_index(
         bases[pid] = acc
         acc += counts[pid]
 
-    schema = with_pid.schema.add(index_col, "long")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(with_pid.schema.fields) + [StructField(index_col, LongType())]
+    )
     out_cols = [f.name for f in schema.fields]
 
     def assign(iterator):

@@ -1,0 +1,243 @@
+"""Tier-2: Spark pipeline correctness on local Spark (SURVEY.md §5.2).
+
+The decisive check is differential: the distributed pipeline must emit
+exactly the quads the pure kernel produces for the same per-turn
+documents (modulo the deterministic label mapping), plus invariants
+(per-turn text equality under stable ordering), canonicalization
+modes, skew-safe joins, lineage, and kill/resume idempotence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonld_spark.kernel.expand import expand_element
+from jsonld_spark.kernel.nodemap import BlankNodeIssuer, build_node_map
+from jsonld_spark.kernel.rdf import node_map_to_quads
+from jsonld_spark.operators.canonicalize import dense_bnode_labels, salt_join, two_phase_row_index
+from jsonld_spark.operators.extract import (
+    PIPELINE_CONTEXT,
+    detect_mentions,
+    link_mentions_join,
+    with_payload,
+)
+from jsonld_spark.operators.kg_pipeline import (
+    QUAD_COLUMNS,
+    canonicalize_bnodes,
+    docs_to_quads,
+    kg_triples,
+    resolve_context,
+    transcripts_to_triples,
+)
+from jsonld_spark.operators.lineage import lineage_metrics
+from jsonld_spark.sources import entities as E
+from jsonld_spark.sources.transcripts import transcripts_from_events
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not available"
+)
+
+
+def kernel_quads_for(docs_rows, hash_labels=True):
+    """Reference semantics on the driver: run the pure kernel per doc,
+    applying the same content-addressed relabeling as the pipeline."""
+    import hashlib
+
+    activectx = resolve_context(PIPELINE_CONTEXT)
+    out = set()
+    for row in docs_rows:
+        expanded = expand_element(json.loads(row["jsonld"]), dict(activectx))
+        if not isinstance(expanded, list):
+            expanded = [] if expanded is None else [expanded]
+        issuer = BlankNodeIssuer()
+        node_map = build_node_map(expanded, issuer)
+        key = hashlib.md5(f"{row['conv_id']}/{row['turn_idx']}".encode()).hexdigest()
+
+        def relabel(v):
+            if hash_labels and isinstance(v, str) and v.startswith("_:"):
+                return f"_:h{key}n{v[3:]}"
+            return v
+
+        for q in node_map_to_quads(node_map, issuer):
+            out.add((relabel(q.graph), relabel(q.subject), q.predicate,
+                     q.obj_kind, relabel(q.obj_value) if q.obj_kind == "iri" else q.obj_value,
+                     q.obj_type, q.obj_lang))
+    return out
+
+
+def test_pipeline_matches_kernel_differential(spark):
+    """The flagship invariant: distributed output == single-process
+    kernel output over the same documents."""
+    docs = with_payload(transcripts_from_events(spark, SF))
+    docs_rows = docs.select("conv_id", "turn_idx", "jsonld").collect()
+    expected = kernel_quads_for(docs_rows)
+    actual = {
+        tuple(r) for r in kg_triples(spark, SF).collect()
+    }
+    assert actual == expected
+
+
+def test_per_turn_text_equality_invariant(spark):
+    """BASELINE.json input_hint: per-turn text equality under stable
+    (conv_id, turn_idx) window ordering — the text literal emitted for
+    each turn equals the transcript text, keyed by the turn IRI."""
+    t = transcripts_from_events(spark, SF)
+    tri = kg_triples(spark, SF)
+    text_triples = tri.where(F.col("predicate") == E.VOCAB + "text").select(
+        F.col("subject"), F.col("obj_value").alias("triple_text")
+    )
+    turns = t.select(
+        F.concat(F.lit(E.KG + "turn/"), "conv_id", F.lit("/"), "turn_idx").alias("subject"),
+        "text",
+    )
+    joined = turns.join(text_triples, "subject", "full")
+    mismatches = joined.where(
+        F.col("text").isNull()
+        | F.col("triple_text").isNull()
+        | (F.col("text") != F.col("triple_text"))
+    ).count()
+    assert mismatches == 0
+
+
+def test_join_and_map_linking_agree(spark):
+    """The broadcast-join linking variant must agree with the literal
+    -map variant (same argmax-prior resolution)."""
+    t = transcripts_from_events(spark, SF)
+    mentions = detect_mentions(t)
+    dictionary = spark.createDataFrame(E.dictionary_rows())
+    joined = link_mentions_join(mentions, dictionary).select(
+        "conv_id", "turn_idx", "rank", "surface", "entity_id"
+    )
+    from jsonld_spark.operators.kg_queries import mention_links
+
+    mapped = mention_links(spark, SF)
+    assert {tuple(r) for r in joined.collect()} == {tuple(r) for r in mapped.collect()}
+    # the ambiguous surface must resolve to the high-prior sense
+    amb = {r["entity_id"] for r in joined.where(
+        F.col("surface") == E.AMBIGUOUS_SURFACE).collect()}
+    assert amb == {E.entity_iri(E.AMBIGUOUS_ENTITY)}
+
+
+def test_two_phase_row_index_is_dense_and_ordered(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 37 % 1000).alias("k"), F.col("id").alias("orig")
+    )
+    indexed = two_phase_row_index(df, ["k"], index_col="idx", num_partitions=7)
+    rows = indexed.orderBy("k").collect()
+    assert [r["idx"] for r in rows] == list(range(1000))
+    assert [r["k"] for r in rows] == sorted(r["k"] for r in rows)
+
+
+def test_dense_labels_match_single_process_order(spark):
+    """Dense mode must reproduce the reference's global _:bN numbering:
+    first-visit order over documents sorted by (conv_id, turn_idx)."""
+    t = transcripts_from_events(spark, SF)
+    small = with_payload(t.where(F.col("conv_id").isin(
+        [r["conv_id"] for r in t.select("conv_id").distinct().limit(3).collect()]
+    )))
+    quads = docs_to_quads(small)
+    dense = dense_bnode_labels(quads)
+
+    # single-process expectation: one global issuer over docs in order
+    rows = sorted(
+        small.select("conv_id", "turn_idx", "jsonld").collect(),
+        key=lambda r: (r["conv_id"], r["turn_idx"]),
+    )
+    activectx = resolve_context(PIPELINE_CONTEXT)
+    expected = set()
+    issuer = BlankNodeIssuer()
+    for row in rows:
+        expanded = expand_element(json.loads(row["jsonld"]), dict(activectx))
+        if not isinstance(expanded, list):
+            expanded = [expanded] if expanded else []
+        # namespace each doc's original labels so the shared issuer
+        # never merges labels across documents (matches the pipeline's
+        # per-document issuers)
+        node_map = {"@default": {}}
+        from jsonld_spark.kernel.nodemap import generate_node_map
+
+        generate_node_map(node_map, expanded, issuer)
+        expected |= {tuple(q) for q in node_map_to_quads(node_map, issuer)}
+    actual = {tuple(r) for r in dense.select(
+        "graph", "subject", "predicate", "obj_kind", "obj_value", "obj_type", "obj_lang"
+    ).collect()}
+    assert actual == expected
+
+
+def test_salt_join_equals_plain_join(spark):
+    big = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(7)], ["k", "name"]
+    )
+    salted = salt_join(big, small, ["k"]).select("k", "v", "name")
+    plain = big.join(small, "k").select("k", "v", "name")
+    assert salted.count() == 5000
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_lineage_metrics_cover_all_quads(spark):
+    t = transcripts_from_events(spark, SF)
+    quads = transcripts_to_triples(t, keep_lineage=True)
+    lineage = lineage_metrics(quads, n_buckets=8)
+    agg = lineage.agg(
+        F.sum("n_quads").alias("q"), F.sum("n_turns").alias("t"), F.sum("n_links").alias("l")
+    ).first()
+    assert agg["q"] == quads.count()
+    assert agg["t"] == t.count()
+    assert agg["l"] == detect_mentions(t).count()
+    hist = lineage.select(F.explode("link_score_histogram")).groupBy("key").agg(
+        F.sum("value").alias("n")
+    ).collect()
+    assert sum(r["n"] for r in hist) == agg["l"]
+
+
+def test_resume_is_idempotent(tmp_path, spark):
+    """Kill after 2 of 4 bucket commits; the resumed run must complete
+    exactly the remaining buckets and equal a from-scratch run."""
+    from jsonld_spark.streaming.resume import read_triples, run_resumable
+
+    out = str(tmp_path / "triples")
+    table = run_resumable(spark, SF, out, n_buckets=4, fail_after=2)
+    assert len(table.completed_buckets()) == 2
+    partial = read_triples(spark, out).count()
+
+    table = run_resumable(spark, SF, out, n_buckets=4)  # resume
+    assert len(table.completed_buckets()) == 4
+    resumed = read_triples(spark, out)
+
+    full = kg_triples(spark, SF)
+    assert resumed.count() > partial
+    assert {tuple(r) for r in resumed.collect()} == {tuple(r) for r in full.collect()}
+
+    # re-running a completed job is a no-op (same manifest sequence)
+    seq = table.latest_manifest()["sequence"]
+    run_resumable(spark, SF, out, n_buckets=4)
+    assert SnapshotTableSeq(out) == seq
+
+
+def SnapshotTableSeq(root):
+    from jsonld_spark.sources.tables import SnapshotTable
+
+    return SnapshotTable(root).latest_manifest()["sequence"]
+
+
+def test_multimodal_stub_and_fake_decoder(spark):
+    from jsonld_spark.operators import multimodal
+
+    assets = multimodal.binary_assets(spark, SF)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_features(assets)
+    feats = multimodal.decode_features(
+        assets, decoder=multimodal.deterministic_fake_decoder
+    )
+    row = feats.orderBy("doc_id").first()
+    assert row["n_bytes"] > 0 and len(row["payload_sha256"]) == 64
+    assert 16 <= row["width"] < 528 and 16 <= row["height"] < 528
