@@ -33,15 +33,30 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from jsonld_spark.operators import (
         dedup,
+        jsonld_ops,
         kg_queries,
         multimodal,
         relational,
         similarity,
         text,
     )
+    from jsonld_spark.operators.extract import with_payload
     from jsonld_spark.operators.kg_pipeline import kg_triples, nquads_lines
+    from jsonld_spark.sources.transcripts import transcripts_from_events
+
+    def _docs(spark, sf):
+        return with_payload(transcripts_from_events(spark, sf))
 
     return {
+        # --- JSON-LD document transforms (reference API surface);
+        # full-document JSON output is not SQL-expressible, so these
+        # get rows-only driver checks; pytest covers them differentially
+        "jsonld_expand_docs": lambda spark, sf: jsonld_ops.expand_documents(_docs(spark, sf)),
+        "jsonld_compact_docs": lambda spark, sf: jsonld_ops.compact_documents(_docs(spark, sf)),
+        "jsonld_flatten_docs": lambda spark, sf: jsonld_ops.flatten_documents(_docs(spark, sf)),
+        "jsonld_fromrdf_nodes": lambda spark, sf: jsonld_ops.from_rdf_nodes(
+            kg_triples(spark, sf), use_native_types=True
+        ),
         # --- KG construction pipeline (the reference's capabilities) ---
         "kg_triples": kg_triples,
         "kg_nquads": lambda spark, sf: nquads_lines(kg_triples(spark, sf)),

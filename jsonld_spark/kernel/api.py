@@ -92,7 +92,7 @@ def flatten(doc, base=None, expand_context=None, loader=None) -> list:
 def compact(doc, context=None, base=None, expand_context=None, compact_arrays=True,
             loader=None):
     """Expand-then-compact (reference: JsonLD.php:224-301)."""
-    from jsonld_spark.kernel.compact import compact_document  # lazy: P2 module
+    from jsonld_spark.kernel.compaction import compact_document  # lazy: P2 module
 
     expanded = expand(doc, base=base, expand_context=expand_context, loader=loader)
     return compact_document(expanded, _parse_input(context), base=base,

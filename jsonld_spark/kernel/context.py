@@ -40,8 +40,24 @@ DEFAULT_GRAPH = "@default"
 MERGED_GRAPH = "@merged"
 
 
+class ActiveContext(dict):
+    """Active context dict with a property-definition memo.
+
+    The context is immutable during expansion (process_context builds
+    it once on the driver; expand copies on @context), so definitions
+    can be cached per property — get_property_definition is the
+    hottest call in the expansion kernel (~56 calls/document).
+    """
+
+    __slots__ = ("defcache",)
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.defcache: dict = {}
+
+
 def initial_context(base: str | None = None) -> dict:
-    return {"@base": base}
+    return ActiveContext({"@base": base})
 
 
 def expand_iri(
@@ -113,7 +129,15 @@ def expand_iri(
 
 def get_property_definition(activectx: dict, prop, only: str | None = None):
     """Return the effective definition for a property under the active
-    context (reference: Processor.php:1463-1513)."""
+    context (reference: Processor.php:1463-1513).
+
+    The returned dict is cached on ActiveContext instances — treat it
+    as immutable (copy before mutating, as compact.py does)."""
+    cache = getattr(activectx, "defcache", None)
+    if cache is not None:
+        cached = cache.get(prop)
+        if cached is not None:
+            return cached.get(only) if only is not None else cached
     result = {
         "@reverse": False,
         "@type": None,
@@ -142,6 +166,8 @@ def get_property_definition(activectx: dict, prop, only: str | None = None):
                 result["@container"] = definition["@container"]
                 if definition["@container"] in ("@list", "@set"):
                     result["compactArrays"] = False
+    if cache is not None and (prop is None or isinstance(prop, str)):
+        cache[prop] = result
     if only is not None:
         return result.get(only)
     return result
@@ -163,6 +189,11 @@ def process_context(
     """
     if not isinstance(loclctx, list):
         loclctx = [loclctx]
+
+    # any mutation invalidates memoized property definitions
+    cache = getattr(activectx, "defcache", None)
+    if cache is not None:
+        cache.clear()
 
     for context in loclctx:
         if context is None:
@@ -363,3 +394,6 @@ def process_context(
                 )
         else:
             raise JsonLdError(JsonLdError.INVALID_LOCAL_CONTEXT)
+
+    if cache is not None:
+        cache.clear()

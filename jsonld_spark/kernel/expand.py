@@ -222,8 +222,11 @@ def expand_element(element, activectx, activeprty=None, frame=False, loader=None
 def _copy_ctx(activectx: dict) -> dict:
     # term definitions are never mutated in place, so a shallow copy
     # plus per-term copies on write (process_context always builds new
-    # dicts) is sufficient
-    return dict(activectx)
+    # dicts) is sufficient; ActiveContext gives the copy a fresh
+    # definition memo
+    from jsonld_spark.kernel.context import ActiveContext
+
+    return ActiveContext(activectx)
 
 
 def _expand_scalar(value, activectx, activeprty):

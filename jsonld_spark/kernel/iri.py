@@ -115,6 +115,48 @@ def _recompose(scheme, authority, path, query, fragment) -> str:
     return "".join(parts)
 
 
+def iri_relativize(base: str | None, iri: str) -> str:
+    """Best relative reference for ``iri`` against ``base`` (the
+    inverse of resolution; the reference delegates to ml/iri
+    ``baseFor``, call site Processor.php:1256). Falls back to the
+    absolute IRI when no shorter form round-trips."""
+    if base is None:
+        return iri
+    b_scheme, b_auth, b_path, b_query, _ = iri_parse(base)
+    i_scheme, i_auth, i_path, i_query, i_frag = iri_parse(iri)
+    if b_scheme != i_scheme or i_scheme is None:
+        return iri
+    frag = "" if i_frag is None else "#" + i_frag
+    query = "" if i_query is None else "?" + i_query
+    if b_auth != i_auth:
+        return _recompose(None, i_auth, i_path, i_query, i_frag)
+    if i_path == b_path:
+        if i_query == b_query:
+            return frag if frag else iri
+        return query + frag
+    # same authority: make the path relative to base's directory
+    b_segs = b_path.split("/")
+    i_segs = i_path.split("/")
+    # drop the base's final segment (its "file")
+    b_dir = b_segs[:-1]
+    common = 0
+    while common < len(b_dir) and common < len(i_segs) - 1 and b_dir[common] == i_segs[common]:
+        common += 1
+    ups = [".."] * (len(b_dir) - common)
+    rel_segs = ups + i_segs[common:]
+    rel = "/".join(rel_segs)
+    if not rel:
+        rel = "./"
+    # a ':' in the first segment would parse as a scheme; guard with ./
+    first = rel_segs[0] if rel_segs else ""
+    if ":" in first:
+        rel = "./" + rel
+    candidate = rel + query + frag
+    if iri_resolve(base, candidate) == iri:
+        return candidate
+    return iri
+
+
 def iri_resolve(base: str | None, reference: str) -> str:
     """Resolve ``reference`` against ``base`` per RFC 3986 section 5.2.2.
 

@@ -99,7 +99,14 @@ def php_ksort_keys(d: dict) -> list:
     so plain lexicographic order matches. Numeric-string keys (only
     possible inside @index maps) get a numeric-aware order for parity.
     """
-    keys = list(d.keys())
+    keys = sorted(d)
+    # Fast path: keys that cannot be numeric strings (common case) —
+    # only re-sort when a key starts with a digit/sign/dot
+    for k in keys:
+        if k and k[0] in "0123456789+-.":
+            break
+    else:
+        return keys
 
     def sort_key(k):
         try:
@@ -107,7 +114,4 @@ def php_ksort_keys(d: dict) -> list:
         except (TypeError, ValueError):
             return (1, 0.0, k)
 
-    # Fast path: no numeric keys -> plain lexicographic (common case)
-    if all(sort_key(k)[0] == 1 for k in keys):
-        return sorted(keys)
     return sorted(keys, key=sort_key)

@@ -32,6 +32,7 @@ PIPELINE_CONTEXT = {
     "target": {"@type": "@id"},
     "tool": {"@type": "@id"},
     "inConversation": {"@type": "@id"},
+    "entities": {"@type": "@id"},
     "score": {"@type": "http://www.w3.org/2001/XMLSchema#double"},
 }
 
@@ -104,14 +105,11 @@ def with_payload(transcripts: DataFrame) -> DataFrame:
             F.element_at(link, s)["entity_id"].alias("target"),
         ),
     )
-    entity_nodes = F.transform(
-        surfaces,
-        lambda s: F.struct(
-            F.element_at(link, s)["entity_id"].alias("@id"),
-            F.element_at(link, s)["type_term"].alias("@type"),
-            s.alias("label"),
-        ),
-    )
+    # entity references only (coerced @id strings): corpus-level entity
+    # facts (rdf:type / label) are emitted by entity_triples() as a
+    # small relational distinct, so the document-kernel output stays
+    # unique-by-construction and needs NO global dedup shuffle
+    entity_refs = F.transform(surfaces, lambda s: F.element_at(link, s)["entity_id"])
 
     doc = F.to_json(
         F.struct(
@@ -126,7 +124,45 @@ def with_payload(transcripts: DataFrame) -> DataFrame:
                 F.col("tool").isNotNull(), F.concat(F.lit(TOOL_IRI_PREFIX), F.col("tool"))
             ).alias("tool"),
             mentions.alias("mentions"),
-            entity_nodes.alias("entities"),
+            entity_refs.alias("entities"),
         )
     )
     return transcripts.withColumn("turn_iri", turn_iri).withColumn("jsonld", doc)
+
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def entity_triples(transcripts: DataFrame) -> DataFrame:
+    """Corpus-level entity facts — (entity, rdf:type, Type) and
+    (entity, label, surface) — via mention detection + the broadcast
+    link map, deduplicated relationally. This is the only part of the
+    triple set that repeats across turns, so it is the only part that
+    shuffles (a distinct over ~2 rows per mention; the head-entity
+    skew lands here and partial aggregation absorbs it)."""
+    link = _link_map_expr()
+    mentions = detect_mentions(transcripts).select(
+        "surface", F.element_at(link, F.col("surface")).alias("e")
+    )
+    typed = mentions.select(
+        F.col("e")["entity_id"].alias("subject"),
+        F.lit(RDF_TYPE).alias("predicate"),
+        F.lit("iri").alias("obj_kind"),
+        F.concat(F.lit(E.VOCAB), F.col("e")["type_term"]).alias("obj_value"),
+        F.lit(None).cast("string").alias("obj_type"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+    labeled = mentions.select(
+        F.col("e")["entity_id"].alias("subject"),
+        F.lit(E.VOCAB + "label").alias("predicate"),
+        F.lit("literal").alias("obj_kind"),
+        F.col("surface").alias("obj_value"),
+        F.lit(XSD_STRING).alias("obj_type"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+    return (
+        typed.unionByName(labeled)
+        .select(F.lit(None).cast("string").alias("graph"), "*")
+        .dropDuplicates()
+    )

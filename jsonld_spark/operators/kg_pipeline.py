@@ -46,6 +46,7 @@ def docs_to_quads(
     base: str | None = None,
     generalized_rdf: bool = False,
     doc_col: str = "jsonld",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """S3+S4: per-document expand -> node map -> quads, exploded 1->N.
 
@@ -61,6 +62,11 @@ def docs_to_quads(
     def emit(batches):
         import pandas as pd
 
+        from jsonld_spark.kernel.context import ActiveContext
+
+        # re-wrap on the worker: the definition memo does not survive
+        # pickling, and a warm memo is a ~1.3x kernel speedup
+        ctx = ActiveContext(activectx)
         for pdf in batches:
             rows = []
             for conv_id, turn_idx, doc in zip(
@@ -68,7 +74,7 @@ def docs_to_quads(
             ):
                 if doc is None:
                     continue
-                expanded = expand_element(json.loads(doc), activectx, None, False, None, base)
+                expanded = expand_element(json.loads(doc), ctx, None, False, None, base)
                 if isinstance(expanded, dict) and len(expanded) == 1 and "@graph" in expanded:
                     expanded = expanded["@graph"]
                 if not isinstance(expanded, list):
@@ -81,8 +87,79 @@ def docs_to_quads(
                 rows, columns=["conv_id", "turn_idx"] + QUAD_COLUMNS
             )
 
-    # Column pruning: ship only the three needed columns into Arrow
-    return docs.select("conv_id", "turn_idx", doc_col).mapInPandas(emit, QUAD_SCHEMA)
+    # Column pruning: ship only the three needed columns into Arrow.
+    # parallelism=0 means the caller already repartitioned for CPU
+    # (see transcripts_to_triples); otherwise repartition here — AQE
+    # sizes shuffle partitions by BYTES (64 MiB advisory), but this
+    # stage's cost is per-row CPU, so a byte-small input would coalesce
+    # to a handful of tasks and stop scaling with cores.
+    pruned = docs.select("conv_id", "turn_idx", doc_col)
+    if parallelism != 0:
+        n_parts = parallelism or 3 * docs.sparkSession.sparkContext.defaultParallelism
+        pruned = pruned.repartition(n_parts)
+    return pruned.mapInPandas(emit, QUAD_SCHEMA)
+
+
+ERROR_QUAD_SCHEMA = QUAD_SCHEMA + ", _error string"
+
+
+def docs_to_quads_safe(
+    docs: DataFrame,
+    context: dict | None = PIPELINE_CONTEXT,
+    base: str | None = None,
+    generalized_rdf: bool = False,
+    doc_col: str = "jsonld",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Error-tolerant kernel stage: documents that fail to parse or
+    expand produce one row with ``_error`` set to the spec error code
+    instead of failing the job (the corrupt-record channel for the
+    reference's parse/expansion error taxonomy, Processor.php:180-228;
+    a 100 TB ingest quarantines bad documents, it doesn't die)."""
+    from jsonld_spark.kernel.exceptions import JsonLdError
+    from jsonld_spark.plans.session import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
+    activectx = resolve_context(context, base)
+
+    def emit(batches):
+        import pandas as pd
+
+        from jsonld_spark.kernel.context import ActiveContext
+
+        ctx = ActiveContext(activectx)
+        nulls = (None,) * len(QUAD_COLUMNS)
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, doc in zip(pdf["conv_id"], pdf["turn_idx"], pdf[doc_col]):
+                if doc is None:
+                    rows.append((conv_id, turn_idx) + nulls + ("missing document",))
+                    continue
+                try:
+                    expanded = expand_element(json.loads(doc), ctx, None, False, None, base)
+                except JsonLdError as exc:
+                    rows.append((conv_id, turn_idx) + nulls + (exc.code,))
+                    continue
+                except ValueError:
+                    rows.append((conv_id, turn_idx) + nulls + ("loading document failed",))
+                    continue
+                if isinstance(expanded, dict) and len(expanded) == 1 and "@graph" in expanded:
+                    expanded = expanded["@graph"]
+                if not isinstance(expanded, list):
+                    expanded = [] if expanded is None else [expanded]
+                issuer = BlankNodeIssuer()
+                node_map = build_node_map(expanded, issuer)
+                for quad in node_map_to_quads(node_map, issuer, generalized_rdf):
+                    rows.append((conv_id, turn_idx) + quad + (None,))
+            yield pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx"] + QUAD_COLUMNS + ["_error"]
+            )
+
+    pruned = docs.select("conv_id", "turn_idx", doc_col)
+    if parallelism != 0:
+        n_parts = parallelism or 3 * docs.sparkSession.sparkContext.defaultParallelism
+        pruned = pruned.repartition(n_parts)
+    return pruned.mapInPandas(emit, ERROR_QUAD_SCHEMA)
 
 
 def _relabel(col, key):
@@ -125,14 +202,40 @@ def transcripts_to_triples(
     transcripts: DataFrame,
     context: dict | None = PIPELINE_CONTEXT,
     keep_lineage: bool = False,
+    dedup: str = "split",
 ) -> DataFrame:
-    """Full S1->S7: transcripts -> canonical deduplicated triples."""
-    docs = with_payload(transcripts)
-    quads = docs_to_quads(docs, context=context)
+    """Full S1->S7: transcripts -> canonical deduplicated triples.
+
+    Physical shape (both measured, see BENCH/BASELINE.md):
+
+    * Repartition BEFORE payload assembly: payload JSON construction
+      and the kernel stage are CPU-per-row bound, and AQE's byte-based
+      coalescing of the upstream window shuffle would otherwise run
+      them on a handful of tasks (0.29 scaling efficiency 8->32 cores
+      before; near-linear after). One shuffle covers both stages.
+    * dedup="split": the document-kernel stream is unique by
+      construction (every subject embeds the turn key; the kernel
+      dedups within a document), so it flows to the sink with NO
+      global dropDuplicates; the only cross-turn repeats are the
+      corpus-level entity facts, emitted relationally by
+      entity_triples() as a small distinct. dedup="global" keeps the
+      classic full-stream dropDuplicates for arbitrary payloads.
+    """
+    n_parts = 3 * transcripts.sparkSession.sparkContext.defaultParallelism
+    parted = transcripts.repartition(n_parts)
+    docs = with_payload(parted)
+    quads = docs_to_quads(docs, context=context, parallelism=0)
     quads = canonicalize_bnodes(quads)
     if keep_lineage:
         return quads
-    return distinct_triples(quads)
+    from jsonld_spark.operators.extract import entity_triples
+
+    entities = entity_triples(parted)
+    if dedup == "split":
+        return quads.select(*QUAD_COLUMNS).unionByName(entities)
+    # "global": belt-and-braces full-stream dedup (for payloads without
+    # the per-turn uniqueness invariant)
+    return distinct_triples(quads.select(*QUAD_COLUMNS).unionByName(entities))
 
 
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:

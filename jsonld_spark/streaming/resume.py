@@ -51,7 +51,13 @@ def run_resumable(
         part = transcripts.where(F.col("bucket") == bucket).drop("bucket")
         quads = transcripts_to_triples(part, keep_lineage=True)
         lineage = lineage_metrics(quads, n_buckets)
-        triples = quads.select(*QUAD_COLUMNS).dropDuplicates(QUAD_COLUMNS)
+        from jsonld_spark.operators.extract import entity_triples
+
+        triples = (
+            quads.select(*QUAD_COLUMNS)
+            .unionByName(entity_triples(part))
+            .dropDuplicates(QUAD_COLUMNS)
+        )
         table.commit(triples, [bucket], lineage=lineage)
         committed += 1
         if fail_after is not None and committed >= fail_after:

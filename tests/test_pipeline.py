@@ -73,14 +73,36 @@ def kernel_quads_for(docs_rows, hash_labels=True):
 
 def test_pipeline_matches_kernel_differential(spark):
     """The flagship invariant: distributed output == single-process
-    kernel output over the same documents."""
-    docs = with_payload(transcripts_from_events(spark, SF))
+    kernel output over the same documents, plus the relationally
+    derived corpus-level entity facts."""
+    import re
+
+    t = transcripts_from_events(spark, SF)
+    docs = with_payload(t)
     docs_rows = docs.select("conv_id", "turn_idx", "jsonld").collect()
     expected = kernel_quads_for(docs_rows)
-    actual = {
-        tuple(r) for r in kg_triples(spark, SF).collect()
-    }
+    # entity facts: recompute on the driver from the raw texts
+    link = E.resolved_link_map()
+    pattern = re.compile(E.surface_pattern())
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    xsd_string = "http://www.w3.org/2001/XMLSchema#string"
+    for row in t.select("text").collect():
+        for surface in pattern.findall(row["text"]):
+            e = link[surface]
+            expected.add((None, e["entity_id"], rdf_type, "iri",
+                          E.VOCAB + e["type_term"], None, None))
+            expected.add((None, e["entity_id"], E.VOCAB + "label", "literal",
+                          surface, xsd_string, None))
+    actual = {tuple(r) for r in kg_triples(spark, SF).collect()}
     assert actual == expected
+    # and global-dedup mode yields the same set
+    global_mode = {
+        tuple(r)
+        for r in __import__("jsonld_spark.operators.kg_pipeline", fromlist=["x"])
+        .transcripts_to_triples(t, dedup="global")
+        .collect()
+    }
+    assert global_mode == expected
 
 
 def test_per_turn_text_equality_invariant(spark):
@@ -227,6 +249,29 @@ def SnapshotTableSeq(root):
     from jsonld_spark.sources.tables import SnapshotTable
 
     return SnapshotTable(root).latest_manifest()["sequence"]
+
+
+def test_docs_to_quads_error_channel(spark):
+    """Malformed documents are quarantined with spec error codes, not
+    job failures (the corrupt-record channel, SURVEY.md §2.1)."""
+    from jsonld_spark.operators.kg_pipeline import docs_to_quads_safe
+
+    rows = [
+        ("c1", 0, '{"@id": "http://ex.org/1", "http://v/p": "ok"}'),
+        ("c1", 1, "{not json"),
+        ("c1", 2, '{"@id": 42, "http://v/p": "bad id"}'),
+        ("c1", 3, None),
+        ("c1", 4, '{"@context": {"a": "b", "b": "a"}, "a": "cycle"}'),
+    ]
+    docs = spark.createDataFrame(rows, "conv_id string, turn_idx int, jsonld string")
+    out = docs_to_quads_safe(docs, context=None).collect()
+    good = [r for r in out if r["_error"] is None]
+    errors = {r["turn_idx"]: r["_error"] for r in out if r["_error"] is not None}
+    assert len(good) == 1 and good[0]["obj_value"] == "ok"
+    assert errors[1] == "loading document failed"
+    assert errors[2] == "invalid @id value"
+    assert errors[3] == "missing document"
+    assert errors[4] == "cyclic IRI mapping"
 
 
 def test_multimodal_stub_and_fake_decoder(spark):
