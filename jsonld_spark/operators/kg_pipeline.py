@@ -60,18 +60,24 @@ def docs_to_quads(
     activectx = resolve_context(context, base)
 
     def emit(batches):
-        import pandas as pd
+        import pyarrow as pa
 
         from jsonld_spark.kernel.context import ActiveContext
 
         # re-wrap on the worker: the definition memo does not survive
         # pickling, and a warm memo is a ~1.3x kernel speedup
         ctx = ActiveContext(activectx)
-        for pdf in batches:
-            rows = []
-            for conv_id, turn_idx, doc in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf[doc_col]
-            ):
+        # columnar output buffers: building pyarrow arrays directly is
+        # ~1.4x cheaper than pd.DataFrame(list-of-tuples) + pandas->Arrow
+        names = ["conv_id", "turn_idx", *QUAD_COLUMNS]
+        for batch in batches:
+            conv_ids, turn_idxs, docs_col = (
+                batch.column(0).to_pylist(),
+                batch.column(1).to_pylist(),
+                batch.column(2).to_pylist(),
+            )
+            cols = [[] for _ in names]
+            for conv_id, turn_idx, doc in zip(conv_ids, turn_idxs, docs_col):
                 if doc is None:
                     continue
                 expanded = expand_element(json.loads(doc), ctx, None, False, None, base)
@@ -82,9 +88,17 @@ def docs_to_quads(
                 issuer = BlankNodeIssuer()
                 node_map = build_node_map(expanded, issuer)
                 for quad in node_map_to_quads(node_map, issuer, generalized_rdf):
-                    rows.append((conv_id, turn_idx) + quad)
-            yield pd.DataFrame(
-                rows, columns=["conv_id", "turn_idx"] + QUAD_COLUMNS
+                    cols[0].append(conv_id)
+                    cols[1].append(turn_idx)
+                    for i, value in enumerate(quad, start=2):
+                        cols[i].append(value)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[0], pa.string()),
+                    pa.array(cols[1], pa.int32()),
+                    *[pa.array(c, pa.string()) for c in cols[2:]],
+                ],
+                names=names,
             )
 
     # Column pruning: ship only the three needed columns into Arrow.
@@ -97,7 +111,7 @@ def docs_to_quads(
     if parallelism != 0:
         n_parts = parallelism or 3 * docs.sparkSession.sparkContext.defaultParallelism
         pruned = pruned.repartition(n_parts)
-    return pruned.mapInPandas(emit, QUAD_SCHEMA)
+    return pruned.mapInArrow(emit, QUAD_SCHEMA)
 
 
 ERROR_QUAD_SCHEMA = QUAD_SCHEMA + ", _error string"
