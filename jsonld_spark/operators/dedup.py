@@ -41,15 +41,28 @@ def _tokens_expr():
 
 
 def with_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """Add a deduplicated word-n-gram shingle array column."""
+    """Add a deduplicated word-n-gram shingle array column.
+
+    Built with zip_with over shifted slices rather than per-index
+    element_at inside transform(): there is no common-subexpression
+    elimination inside higher-order-function lambdas, so the
+    element_at formulation re-evaluated split() three times per
+    shingle (measured 8.8s for 260k shingles vs ~0.5s this way).
+    The input is also repartitioned: the docs table is one small
+    parquet file (1-2 scan partitions) but shingling is per-row CPU."""
+    n_parts = 2 * docs.sparkSession.sparkContext.defaultParallelism
     toks = _tokens_expr()
-    shingles = F.when(F.size(toks) >= n, F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
-        )
-    )).otherwise(F.array().cast("array<string>"))
-    return docs.withColumn("shingles", shingles)
+    shingled = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        shingled = F.zip_with(shingled, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.slice(shingled, 1, F.greatest(F.size(toks) - n + 1, F.lit(0)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.repartition(n_parts).withColumn("shingles", shingles)
 
 
 def _shingles_sql(n: int = SHINGLE_N) -> str:
