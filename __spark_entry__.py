@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_mentions": kg_queries.entity_mention_counts,
         "kg_conversation_stats": kg_queries.conversation_stats,
         "kg_adjacency": kg_queries.adjacency,
+        "kg_adjacency_lists": kg_queries.adjacency_lists,
         "kg_reverse_adjacency": kg_queries.reverse_adjacency,
         # --- training-data pipeline: dedup ---
         "dedup_exact": dedup.exact_duplicates,
@@ -105,6 +106,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_mentions": O.kg_entity_mentions_sql(),
         "kg_conversation_stats": O.kg_conversation_stats_sql(),
         "kg_adjacency": O.kg_adjacency_sql(),
+        "kg_adjacency_lists": O.kg_adjacency_lists_sql(),
         "kg_reverse_adjacency": O.kg_reverse_adjacency_sql(),
         "dedup_exact": dedup.exact_duplicates_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),

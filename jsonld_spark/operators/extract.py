@@ -13,8 +13,6 @@ broadcast-join variant for dynamic dictionaries.
 
 from __future__ import annotations
 
-from itertools import chain
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 

@@ -14,7 +14,6 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from jsonld_spark.kernel.compaction import compact_element, create_inverse_context
 from jsonld_spark.kernel.fromrdf import quads_to_jsonld

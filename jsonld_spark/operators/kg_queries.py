@@ -61,6 +61,26 @@ def adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adjacency_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized adjacency: subject -> deterministic edge list
+    (the distributed analogue of the reference's Node property map;
+    this is what the adjacency-table sink writes, keyed by subject
+    hash)."""
+    tri = kg_triples(spark, sf_dir)
+    edge = F.concat_ws(
+        "|", "predicate", "obj_kind", "obj_value",
+        F.coalesce("obj_type", F.lit("")), F.coalesce("obj_lang", F.lit("")),
+    )
+    return (
+        tri.withColumn("edge", edge)
+        .groupBy("subject")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("edge")), "\n").alias("edges"),
+            F.count("*").alias("n_edges"),
+        )
+    )
+
+
 def reverse_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse adjacency: who points at each node — the triple table
     filtered by object, no back-pointer maintenance needed

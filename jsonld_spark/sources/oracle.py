@@ -145,6 +145,21 @@ FROM triples GROUP BY subject"""
     )
 
 
+def kg_adjacency_lists_sql() -> str:
+    return (
+        base_ctes()
+        + f"""
+, triples AS ({triples_select()})
+SELECT subject,
+       string_agg(predicate || '|' || obj_kind || '|' || obj_value || '|' ||
+                  coalesce(obj_type, '') || '|' || coalesce(obj_lang, ''),
+                  chr(10) ORDER BY predicate || '|' || obj_kind || '|' || obj_value || '|' ||
+                  coalesce(obj_type, '') || '|' || coalesce(obj_lang, '')) AS edges,
+       COUNT(*) AS n_edges
+FROM triples GROUP BY subject"""
+    )
+
+
 def kg_reverse_adjacency_sql() -> str:
     return (
         base_ctes()

@@ -16,12 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jsonld_spark.operators.kg_pipeline import (
-    QUAD_COLUMNS,
-    canonicalize_bnodes,
-    docs_to_quads,
-    transcripts_to_triples,
-)
+from jsonld_spark.operators.kg_pipeline import QUAD_COLUMNS, transcripts_to_triples
 from jsonld_spark.operators.lineage import bucket_of, lineage_metrics
 from jsonld_spark.sources.tables import SnapshotTable
 from jsonld_spark.sources.transcripts import transcripts_from_events
