@@ -51,22 +51,24 @@ def conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def adjacency(spark: SparkSession, sf_dir: str, triples: DataFrame | None = None) -> DataFrame:
     """Forward adjacency summary keyed by subject (the materialized
     adjacency table is this groupBy + collect_list; counts here keep
     the oracle exact)."""
-    return kg_triples(spark, sf_dir).groupBy("subject").agg(
+    if triples is None:
+        triples = kg_triples(spark, sf_dir)
+    return triples.groupBy("subject").agg(
         F.countDistinct("predicate").alias("n_predicates"),
         F.count("*").alias("n_values"),
     )
 
 
-def adjacency_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+def adjacency_lists(spark: SparkSession, sf_dir: str, triples: DataFrame | None = None) -> DataFrame:
     """Materialized adjacency: subject -> deterministic edge list
     (the distributed analogue of the reference's Node property map;
     this is what the adjacency-table sink writes, keyed by subject
     hash)."""
-    tri = kg_triples(spark, sf_dir)
+    tri = triples if triples is not None else kg_triples(spark, sf_dir)
     edge = F.concat_ws(
         "|", "predicate", "obj_kind", "obj_value",
         F.coalesce("obj_type", F.lit("")), F.coalesce("obj_lang", F.lit("")),
@@ -81,11 +83,11 @@ def adjacency_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def reverse_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def reverse_adjacency(spark: SparkSession, sf_dir: str, triples: DataFrame | None = None) -> DataFrame:
     """Reverse adjacency: who points at each node — the triple table
     filtered by object, no back-pointer maintenance needed
     (reference maintains these imperatively, Node.php:433-452)."""
-    tri = kg_triples(spark, sf_dir)
+    tri = triples if triples is not None else kg_triples(spark, sf_dir)
     return (
         tri.where(F.col("obj_kind") == "iri")
         .groupBy(F.col("obj_value").alias("node"))

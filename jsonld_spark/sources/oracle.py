@@ -191,6 +191,36 @@ FROM triples"""
     )
 
 
+def kg_frame_head_mentions_sql() -> str:
+    """Oracle for the frame query {@type: Mention, target: E0}."""
+    return (
+        base_ctes()
+        + f"""
+SELECT DISTINCT bnode AS subject FROM linked
+WHERE entity_id = '{E.KG}entity/E0'"""
+    )
+
+
+def kg_frame_tool_turn_subgraph_sql() -> str:
+    """Oracle for frame_subgraph({@type: Turn, tool: exists}, depth=1):
+    all triples of tool-bearing turns plus triples of their direct
+    objects (mention bnodes and referenced entities)."""
+    return (
+        base_ctes()
+        + f"""
+, triples AS ({triples_select()}),
+sel AS (SELECT turn_iri FROM turns WHERE tool IS NOT NULL),
+subs AS (
+  SELECT turn_iri AS s FROM sel
+  UNION
+  SELECT bnode FROM linked WHERE turn_iri IN (SELECT turn_iri FROM sel)
+  UNION
+  SELECT entity_id FROM linked WHERE turn_iri IN (SELECT turn_iri FROM sel)
+)
+SELECT * FROM triples WHERE subject IN (SELECT s FROM subs)"""
+    )
+
+
 def kg_mention_detection_sql() -> str:
     """Oracle for the standalone mention-detection + linking operator."""
     return (
