@@ -1,0 +1,74 @@
+"""Tier-2: physical-plan shape regression tests.
+
+The perf work in BENCH/BASELINE.md is guarded here: these assert the
+plan properties that made the pipeline fast, so a future change that
+silently reintroduces a double kernel stage, loses predicate pushdown,
+or drops the broadcast hint fails loudly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from jsonld_spark.operators.kg_pipeline import kg_triples
+from jsonld_spark.operators.relational import pricing_summary, top_unshipped_orders
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not available"
+)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def physical_plan_of(df) -> str:
+    # pre-execution physical plan (the executed AQE plan string embeds
+    # initial+final copies and double-counts nodes)
+    return df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+
+
+def test_kernel_stage_runs_once(spark):
+    """The Python kernel is the expensive stage; the plan must contain
+    exactly one of it (the first split-dedup design accidentally ran
+    it per Union branch)."""
+    plan = physical_plan_of(kg_triples(spark, SF))
+    n = plan.count("MapInArrow") + plan.count("MapInPandas")
+    assert n == 1, plan
+
+
+def test_no_global_distinct_on_kernel_stream(spark):
+    """Set semantics come from per-turn uniqueness + the small entity
+    distinct — there must be no aggregate directly over the kernel
+    output columns (conv_id-keyed stream)."""
+    plan = physical_plan_of(kg_triples(spark, SF))
+    kernel_idx = max(plan.find("MapInArrow"), plan.find("MapInPandas"))
+    above_kernel = plan[:kernel_idx]
+    # the only aggregates above the kernel in tree order belong to the
+    # entity branch; the kernel branch feeds the Union directly
+    assert "Union" in plan
+    assert above_kernel.count("HashAggregate") <= 2  # entity distinct only
+
+
+def test_shipdate_filter_is_pushed_down(spark):
+    plan = physical_plan_of(pricing_summary(spark, SF))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1][:300]
+
+
+def test_dimension_join_is_broadcast(spark):
+    plan = physical_plan_of(top_unshipped_orders(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kernel_stage_parallelism_is_explicit(spark):
+    """The repartition before the CPU-bound stages must survive:
+    without it AQE byte-coalescing strangles the kernel stage."""
+    tri = kg_triples(spark, SF)
+    plan = physical_plan_of(tri)
+    kernel_idx = max(plan.find("MapInArrow"), plan.find("MapInPandas"))
+    assert "Exchange RoundRobinPartitioning" in plan[kernel_idx:], plan
