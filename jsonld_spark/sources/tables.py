@@ -106,7 +106,13 @@ class SnapshotTable:
         manifest = self.latest_manifest()
         if not manifest or not manifest["data_dirs"]:
             return None
-        return spark.read.parquet(*manifest["data_dirs"])
+        # one read per snapshot dir: each is its own partitioned layout,
+        # and a multi-root read would fail partition discovery
+        df = None
+        for data_dir in manifest["data_dirs"]:
+            part = spark.read.parquet(data_dir)
+            df = part if df is None else df.unionByName(part, allowMissingColumns=True)
+        return df
 
     def read_lineage(self, spark: SparkSession) -> DataFrame | None:
         manifest = self.latest_manifest()

@@ -28,11 +28,16 @@ def run_resumable(
     out_root: str,
     n_buckets: int = 4,
     fail_after: int | None = None,
+    subject_buckets: int = 16,
 ) -> SnapshotTable:
     """Run the pipeline bucket-by-bucket with snapshot commits.
 
     ``fail_after`` aborts after N bucket commits (test hook simulating
-    a killed job); re-invoking resumes from the manifest.
+    a killed job); re-invoking resumes from the manifest. The triple
+    table is written partitioned by ``subject_bucket = hash(subject) %
+    subject_buckets`` — the parquet analogue of Iceberg's
+    ``partitionedBy(bucket(N, subject))`` — so point lookups prune to
+    one partition directory.
     """
     table = SnapshotTable(out_root)
     done = table.completed_buckets()
@@ -52,12 +57,33 @@ def run_resumable(
             quads.select(*QUAD_COLUMNS)
             .unionByName(entity_triples(part))
             .dropDuplicates(QUAD_COLUMNS)
+            .withColumn(
+                "subject_bucket",
+                F.pmod(F.xxhash64("subject"), F.lit(subject_buckets)).cast("int"),
+            )
         )
-        table.commit(triples, [bucket], lineage=lineage)
+        table.commit(triples, [bucket], lineage=lineage, partition_by=["subject_bucket"])
         committed += 1
         if fail_after is not None and committed >= fail_after:
             break  # simulated crash after commit point
     return table
+
+
+def lookup_subject(spark: SparkSession, out_root: str, subject: str,
+                   subject_buckets: int = 16) -> DataFrame | None:
+    """Point lookup on the materialized triple table: the
+    subject-bucket predicate prunes the scan to one partition
+    directory per snapshot (Graph::getNode at scale,
+    reference Graph.php:102-111)."""
+    df = SnapshotTable(out_root).read(spark)
+    if df is None:
+        return None
+    # the bucket expression over a literal constant-folds, so the
+    # partition filter prunes directories before any file is read
+    bucket = F.pmod(F.xxhash64(F.lit(subject)), F.lit(subject_buckets)).cast("int")
+    return df.where(
+        (F.col("subject_bucket") == bucket) & (F.col("subject") == subject)
+    ).drop("subject_bucket")
 
 
 def read_triples(spark: SparkSession, out_root: str) -> DataFrame | None:
@@ -66,4 +92,6 @@ def read_triples(spark: SparkSession, out_root: str) -> DataFrame | None:
     df = SnapshotTable(out_root).read(spark)
     if df is None:
         return None
+    if "subject_bucket" in df.columns:
+        df = df.drop("subject_bucket")
     return df.dropDuplicates(QUAD_COLUMNS)

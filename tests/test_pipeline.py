@@ -251,6 +251,25 @@ def SnapshotTableSeq(root):
     return SnapshotTable(root).latest_manifest()["sequence"]
 
 
+def test_subject_bucket_partition_pruning(tmp_path, spark):
+    """The materialized triple table is partitioned by subject hash;
+    a point lookup must prune to one partition directory and return
+    exactly the subject's triples."""
+    from jsonld_spark.streaming.resume import lookup_subject, run_resumable
+
+    out = str(tmp_path / "triples")
+    run_resumable(spark, SF, out, n_buckets=2, subject_buckets=8)
+    subject = E.KG + "turn/conv-00000000/0"
+    found = lookup_subject(spark, out, subject, subject_buckets=8)
+    rows = found.collect()
+    assert rows and all(r["subject"] == subject for r in rows)
+    preds = {r["predicate"] for r in rows}
+    assert E.VOCAB + "text" in preds and E.VOCAB + "role" in preds
+    # the physical plan carries the partition filter (directory pruning)
+    plan = found._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    assert "subject_bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_docs_to_quads_error_channel(spark):
     """Malformed documents are quarantined with spec error codes, not
     job failures (the corrupt-record channel, SURVEY.md §2.1)."""
