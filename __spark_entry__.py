@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "sim_brute_topk": similarity.brute_force_topk,
         "sim_lsh_ann_topk": similarity.lsh_ann_topk,
+        "sim_ivf_topk": similarity.ivf_topk,
         "sim_embedding_neardup": similarity.embedding_near_duplicates,
         # --- text analysis ---
         "text_token_stats": text.token_stats,
@@ -151,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": dedup.simhash_near_pairs_sql(),
         "sim_brute_topk": similarity.brute_force_topk_sql(),
         "sim_lsh_ann_topk": similarity.lsh_ann_topk_sql(),
+        "sim_ivf_topk": similarity.ivf_topk_sql(),
         "sim_embedding_neardup": similarity.embedding_near_duplicates_sql(),
         "text_token_stats": text.token_stats_sql(),
         "text_quality": text.quality_scores_sql(),

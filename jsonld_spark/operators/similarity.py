@@ -181,6 +181,134 @@ ranked AS (
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM ranked WHERE rank <= {k}"""
 
 
+IVF_CELLS = 8
+IVF_ITERATIONS = 2
+
+
+def _assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """argmin squared-L2 cell per vector (ties -> lowest cell id);
+    all-integer arithmetic so the SQL oracle reproduces it exactly."""
+    dist2 = (
+        _norm2(F.col("q")) + _norm2(F.col("cq")) - 2 * _pair_dot(F.col("q"), F.col("cq"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cid"))
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .withColumn("dist2", dist2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "q", F.col("cid").alias("cell"))
+    )
+
+
+def _train_ivf(emb: DataFrame, cells: int, iterations: int) -> DataFrame:
+    """Deterministic integer Lloyd iterations: centroids seeded from
+    the first ``cells`` vectors; means floored back to integers each
+    round; empty cells keep their previous centroid. Centroids are
+    tiny and come back to the driver between rounds (the classic
+    coarse-quantizer training shape)."""
+    spark = emb.sparkSession
+    centroids = emb.where(F.col("vec_id") < cells).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("q").alias("cq")
+    )
+    for _ in range(iterations):
+        assigned = _assign_cells(emb, centroids)
+        means = (
+            assigned.select("cell", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.floor(F.avg("val")).cast("long").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda x: x["m"]).alias("cq"))
+        )
+        new_rows = {r["cell"]: r["cq"] for r in means.collect()}
+        old_rows = {r["cid"]: r["cq"] for r in centroids.collect()}
+        merged = [
+            (cid, new_rows.get(cid, old_rows[cid])) for cid in sorted(old_rows)
+        ]
+        centroids = spark.createDataFrame(merged, "cid int, cq array<bigint>")
+    return centroids
+
+
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES,
+    cells: int = IVF_CELLS, iterations: int = IVF_ITERATIONS,
+) -> DataFrame:
+    """IVF approximate top-k: a k-means coarse quantizer partitions the
+    corpus into cells; each query searches only its cell (nprobe=1),
+    ranked by exact quantized cosine. The scale path next to LSH:
+    candidate generation is a cell-equality join instead of cross."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", _quantized().alias("q"))
+    centroids = _train_ivf(emb, cells, iterations)
+    assigned = _assign_cells(emb, centroids)
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("cell").alias("qc")
+    )
+    scored = assigned.join(
+        F.broadcast(queries),
+        (F.col("cell") == F.col("qc")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = _pair_dot(F.col("q"), F.col("qq")) / F.sqrt(
+        _norm2(F.col("q")) * _norm2(F.col("qq"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+def _ivf_assign_sql(vectors_cte: str, centroids_cte: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT vec_id, q, cid AS cell FROM (
+    SELECT e.vec_id, e.q, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.q, e.q) + list_dot_product(c.q, c.q)
+                      - 2*list_dot_product(e.q, c.q), c.cid) AS rn
+    FROM {vectors_cte} e, {centroids_cte} c)
+  WHERE rn = 1)"""
+
+
+def _ivf_update_sql(assign_cte: str, prev_cte: str, out: str) -> str:
+    return f"""
+{out}_m AS (
+  SELECT cell, pos, CAST(FLOOR(AVG(q[pos])) AS BIGINT) AS m
+  FROM {assign_cte}, range(1, {DIM + 1}) r(pos)
+  GROUP BY cell, pos),
+{out} AS (
+  SELECT p.cid, COALESCE(n.cq, p.q) AS q
+  FROM (SELECT cid, q FROM {prev_cte}) p
+  LEFT JOIN (SELECT cell AS cid, list(m ORDER BY pos) AS cq
+             FROM {out}_m GROUP BY cell) n USING (cid))"""
+
+
+def ivf_topk_sql(k: int = TOP_K, n_queries: int = N_QUERIES,
+                 cells: int = IVF_CELLS) -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, {_quantized_sql()} AS q FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, q FROM emb WHERE vec_id < {cells}),
+{_ivf_assign_sql("emb", "c0", "a1")},
+{_ivf_update_sql("a1", "c0", "c1")},
+{_ivf_assign_sql("emb", "c1", "a2")},
+{_ivf_update_sql("a2", "c1", "c2")},
+{_ivf_assign_sql("emb", "c2", "af")},
+scored AS (
+  SELECT qv.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.q, qv.q) /
+           sqrt(list_dot_product(e.q, e.q) * list_dot_product(qv.q, qv.q)) AS cosine
+  FROM af e JOIN af qv ON e.cell = qv.cell AND e.vec_id <> qv.vec_id
+  WHERE qv.vec_id < {n_queries}),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM ranked WHERE rank <= {k}"""
+
+
 def embedding_near_duplicates(
     spark: SparkSession, sf_dir: str, threshold: float = NEAR_DUP_COSINE
 ) -> DataFrame:
