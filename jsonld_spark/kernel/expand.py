@@ -44,13 +44,14 @@ def expand_element(element, activectx, activeprty=None, frame=False, loader=None
 
     if isinstance(element, list):
         result = []
+        in_list = (
+            activeprty == "@list"
+            or get_property_definition(activectx, activeprty, "@container") == "@list"
+        )
         for item in element:
             item = expand_element(item, activectx, activeprty, frame, loader, base_iri)
             # lists of lists are forbidden in JSON-LD 1.0
-            if (
-                get_property_definition(activectx, activeprty, "@container") == "@list"
-                or activeprty == "@list"
-            ):
+            if in_list:
                 if isinstance(item, list) or (isinstance(item, dict) and "@list" in item):
                     raise JsonLdError(
                         JsonLdError.LIST_OF_LISTS,

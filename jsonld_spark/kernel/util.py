@@ -13,7 +13,7 @@ from jsonld_spark.kernel.exceptions import JsonLdError
 
 def is_scalar(value) -> bool:
     """PHP is_scalar: int/float/string/bool (not None, list, dict)."""
-    return isinstance(value, (str, int, float, bool)) and not isinstance(value, type(None))
+    return isinstance(value, (str, int, float, bool))
 
 
 def scalar_equals(a, b) -> bool:
@@ -71,6 +71,16 @@ def merge_into_property(
     if value is None:
         return
     if isinstance(value, list):
+        # fast path for the common case in expansion: fresh property,
+        # non-unique merge of a flat list of dicts/scalars
+        if (
+            prop not in obj
+            and always_array
+            and not unique
+            and not any(item is None or isinstance(item, list) for item in value)
+        ):
+            obj[prop] = list(value)
+            return
         # empty arrays are preserved in expansion
         if not value and prop not in obj:
             obj[prop] = []
