@@ -78,6 +78,38 @@ class CachingLoader:
         return doc
 
 
+def parse_link_header(header: str) -> list[dict]:
+    """Parse an HTTP Link header into [{target, rel?, type?, ...}].
+
+    The reference uses Link rel="http://www.w3.org/ns/json-ld#context"
+    to attach out-of-band contexts to plain JSON responses
+    (FileGetContentsLoader.php:73-118, parser 156-197). This is the
+    driver-side half of that behavior; the resulting context URL feeds
+    ``CachingLoader`` like any other.
+    """
+    import re
+
+    links = []
+    for match in re.finditer(r"<([^>]*)>((?:\s*;\s*[A-Za-z0-9-]+=(?:\"[^\"]*\"|[^,;\s]+))*)", header):
+        link = {"target": match.group(1)}
+        for param in re.finditer(r";\s*([A-Za-z0-9-]+)=(?:\"([^\"]*)\"|([^,;\s]+))", match.group(2)):
+            key = param.group(1).lower()
+            link[key] = param.group(2) if param.group(2) is not None else param.group(3)
+        links.append(link)
+    return links
+
+
+JSONLD_CONTEXT_REL = "http://www.w3.org/ns/json-ld#context"
+
+
+def context_url_from_links(header: str) -> str | None:
+    """The context URL advertised by a Link header, if any."""
+    for link in parse_link_header(header):
+        if link.get("rel") == JSONLD_CONTEXT_REL:
+            return link["target"]
+    return None
+
+
 def resolve_context_catalog(contexts: dict, base: str | None = None,
                             loader: CachingLoader | None = None) -> dict:
     """Resolve a catalog of named contexts (values may be inline dicts

@@ -49,6 +49,21 @@ def test_recursive_remote_context_detected():
     assert err.value.code == JsonLdError.RECURSIVE_CONTEXT_INCLUSION
 
 
+def test_link_header_parsing():
+    from jsonld_spark.sources.loader import context_url_from_links, parse_link_header
+
+    header = (
+        '<http://ctx.example/v1>; rel="http://www.w3.org/ns/json-ld#context"; '
+        'type="application/ld+json", <http://alt.example/doc>; rel="alternate"'
+    )
+    links = parse_link_header(header)
+    assert links[0]["target"] == "http://ctx.example/v1"
+    assert links[0]["type"] == "application/ld+json"
+    assert links[1]["rel"] == "alternate"
+    assert context_url_from_links(header) == "http://ctx.example/v1"
+    assert context_url_from_links('<http://x>; rel="other"') is None
+
+
 def test_resolve_context_catalog():
     loader = CachingLoader(pinned={
         "http://ctx.example/shared": {"@context": {"@vocab": "http://shared/"}},
