@@ -49,8 +49,6 @@ def two_phase_row_index(
     out_cols = [f.name for f in schema.fields]
 
     def assign(iterator):
-        import pandas as pd
-
         offset = None
         local = 0
         for pdf in iterator:
