@@ -70,7 +70,11 @@ def value_object_to_literal(element: dict):
             return (value, XSD_BOOLEAN, None)
     elif isinstance(value, (int, float)):
         try:
-            integral = value == int(value)
+            # mirror PHP's `$value != (int) $value` (Value.php:85): the
+            # (int) cast is only faithful inside the 64-bit range, so
+            # integral floats beyond it take the canonical-double path
+            # (e.g. 1e24 -> "1.0E24"^^xsd:double)
+            integral = value == int(value) and -(2**63) <= value < 2**63
         except (OverflowError, ValueError):
             integral = False
         if not integral or vtype == XSD_DOUBLE:

@@ -1,0 +1,48 @@
+"""Replay the W3C-style JSON-LD 1.0 conformance fixtures (tests/w3c/)
+through the pure-Python kernels — the tier-1 gate, mirroring the
+reference's Test/W3CTestSuiteTest.php harness (expand :76-93, flatten
+:139-160, toRdf sorted-quad compare :309-334, error :224-244).
+
+Fixture provenance: hand-authored from public JSON-LD 1.0 spec
+knowledge with goldens derived from the reference source (the sandbox
+has no network to vendor json-ld.org fixtures and no PHP to execute
+the reference) — see tools/author_w3c_fixtures.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from w3c_harness import KINDS, iter_manifest, run_case  # noqa: E402
+
+
+def _cases():
+    for kind in KINDS:
+        for entry in iter_manifest(kind):
+            yield pytest.param(kind, entry, id=f"{kind}:{entry['name']}")
+
+
+@pytest.mark.parametrize("kind,entry", _cases())
+def test_w3c_case(kind, entry):
+    res = run_case(kind, entry)
+    assert res["ok"], (
+        f"{kind} {entry['@id']} ({entry['name']}):\n"
+        f"expected: {json.dumps(sorted(res['expected']) if isinstance(res['expected'], set) else res['expected'], sort_keys=True, default=str)}\n"
+        f"actual:   {json.dumps(sorted(res['actual']) if isinstance(res['actual'], set) else res['actual'], sort_keys=True, default=str)}"
+    )
+
+
+def test_tordf_pr_gate():
+    """BASELINE.md gate: toRdf micro P/R >= 0.95 vs the conformance
+    goldens (the reference-analogous sorted-quad set compare)."""
+    from w3c_harness import run_all
+
+    pr = run_all()["tordf_pr"]
+    assert pr["precision"] >= 0.95, pr
+    assert pr["recall"] >= 0.95, pr

@@ -1,0 +1,645 @@
+"""Materialize the W3C-style JSON-LD 1.0 conformance fixture set.
+
+The sandbox has no network and no PHP runtime, so the official
+json-ld.org test-suite files (reference dev-dep ``json-ld/tests: 1.0``,
+/root/reference/composer.json:24) cannot be vendored verbatim and the
+reference cannot be executed to produce goldens. This module therefore
+AUTHORS an equivalent manifest-driven fixture set from public JSON-LD
+1.0 spec knowledge, with every expected output hand-derived from the
+reference implementation's source:
+
+* expand semantics  — Processor.php:313-809 (free-floating drop
+  :502-509, empty-array preservation :2868-2871, language-map key
+  lowercasing :427 — the ONLY strtolower in the codebase, value
+  @language preserved verbatim otherwise)
+* flatten semantics — Processor.php:1896-2055 + 2088-2119 (bnode
+  first-visit counter :2069-2079, @id-only pruning :2969-2972)
+* toRdf semantics   — Processor.php:2130-2261 + Value.php:69-112
+  (%1.15E + trailing-zero compression; integral floats -> xsd:integer
+  unless @type xsd:double) + NQuads.php:25-66 (only \\n and \" are
+  escaped — bug-compat lossy escaping; xsd:string suppressed)
+* fromRdf semantics — Processor.php:2274-2466
+* error taxonomy    — Exception/JsonLdException.php:24-218
+
+Manifest + per-test file layout mirrors the official suite
+(TestManifestIterator.php:18-120; per-test base IRI derivation
+W3CTestSuiteTest.php:92-98). Run ``python tools/author_w3c_fixtures.py``
+to (re)write tests/w3c/**; the generated files are committed so the
+suite is plain data at test time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "w3c")
+BASE = "https://w3c.example.org/tests/"
+EX = "http://example.com/"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+# --------------------------------------------------------------------------
+# expand tests: (name, input, expected) — expected key order is
+# insignificant (the harness ksort-normalizes, JsonTestCase.php:29-63);
+# ARRAY order is significant.
+# --------------------------------------------------------------------------
+
+EXPAND = [
+    (
+        "term to IRI mapping",
+        {"@context": {"name": "http://xmlns.com/foaf/0.1/name"},
+         "@id": EX + "p", "name": "Alice"},
+        [{"@id": EX + "p",
+          "http://xmlns.com/foaf/0.1/name": [{"@value": "Alice"}]}],
+    ),
+    (
+        "@vocab expansion",
+        {"@context": {"@vocab": EX + "vocab#"},
+         "@id": EX + "p", "name": "Bob", "age": 42},
+        [{"@id": EX + "p",
+          EX + "vocab#age": [{"@value": 42}],
+          EX + "vocab#name": [{"@value": "Bob"}]}],
+    ),
+    (
+        "compact IRI (CURIE) keys and nested node objects",
+        {"@context": {"foaf": "http://xmlns.com/foaf/0.1/"},
+         "@id": EX + "p", "foaf:name": "C", "foaf:knows": {"foaf:name": "D"}},
+        [{"@id": EX + "p",
+          "http://xmlns.com/foaf/0.1/knows":
+              [{"http://xmlns.com/foaf/0.1/name": [{"@value": "D"}]}],
+          "http://xmlns.com/foaf/0.1/name": [{"@value": "C"}]}],
+    ),
+    (
+        "relative IRI resolution against the document base",
+        {"@context": {"p": {"@id": EX + "p", "@type": "@id"}},
+         "@id": "resolved-id", "p": "relative"},
+        [{"@id": BASE + "resolved-id",
+          EX + "p": [{"@id": BASE + "relative"}]}],
+    ),
+    (
+        "@type coercion to a datatype IRI",
+        {"@context": {"e": EX, "e:date": {"@type": XSD + "dateTime"}},
+         "@id": EX + "doc", "e:date": "2011-01-25T00:00:00Z"},
+        [{"@id": EX + "doc",
+          EX + "date": [{"@value": "2011-01-25T00:00:00Z",
+                         "@type": XSD + "dateTime"}]}],
+    ),
+    (
+        "default @language applies to strings only",
+        {"@context": {"@language": "en", "label": EX + "label", "e": EX},
+         "@id": EX + "n", "label": "hello", "e:num": 42},
+        [{"@id": EX + "n",
+          EX + "label": [{"@value": "hello", "@language": "en"}],
+          EX + "num": [{"@value": 42}]}],
+    ),
+    (
+        "@list container",
+        {"@context": {"list": {"@id": EX + "list", "@container": "@list"}},
+         "@id": EX + "id", "list": ["a", "b"]},
+        [{"@id": EX + "id",
+          EX + "list": [{"@list": [{"@value": "a"}, {"@value": "b"}]}]}],
+    ),
+    (
+        "@set elision and null value removal",
+        {"@context": {"p": {"@id": EX + "p", "@container": "@set"}},
+         "@id": EX + "id", "p": {"@set": ["v", None]}},
+        [{"@id": EX + "id", EX + "p": [{"@value": "v"}]}],
+    ),
+    (
+        "@language container map (keys lowercased, document order)",
+        {"@context": {"label": {"@id": EX + "label", "@container": "@language"}},
+         "@id": EX + "id",
+         "label": {"DE": ["Die Königin", "Ihre Majestät"], "en": "The Queen"}},
+        [{"@id": EX + "id",
+          EX + "label": [{"@value": "Die Königin", "@language": "de"},
+                         {"@value": "Ihre Majestät", "@language": "de"},
+                         {"@value": "The Queen", "@language": "en"}]}],
+    ),
+    (
+        "@index container map (document order, @index kept)",
+        {"@context": {"p": {"@id": EX + "p", "@container": "@index"}},
+         "@id": EX + "id", "p": {"A": "a", "B": "b"}},
+        [{"@id": EX + "id",
+          EX + "p": [{"@value": "a", "@index": "A"},
+                     {"@value": "b", "@index": "B"}]}],
+    ),
+    (
+        "@reverse term definition",
+        {"@context": {"children": {"@reverse": EX + "parent"}},
+         "@id": EX + "parent-node", "children": [{"@id": EX + "c1"}]},
+        [{"@id": EX + "parent-node",
+          "@reverse": {EX + "parent": [{"@id": EX + "c1"}]}}],
+    ),
+    (
+        "@reverse keyword map",
+        {"@id": EX + "n", "@reverse": {EX + "p": {"@id": EX + "s"}}},
+        [{"@id": EX + "n", "@reverse": {EX + "p": [{"@id": EX + "s"}]}}],
+    ),
+    (
+        "top-level @graph unwrap",
+        {"@context": {"p": EX + "p"},
+         "@graph": [{"@id": EX + "a", "p": "1"}, {"@id": EX + "b", "p": "2"}]},
+        [{"@id": EX + "a", EX + "p": [{"@value": "1"}]},
+         {"@id": EX + "b", EX + "p": [{"@value": "2"}]}],
+    ),
+    (
+        "named graph",
+        {"@context": {"p": EX + "p"},
+         "@id": EX + "g1", "@graph": [{"@id": EX + "a", "p": "v"}]},
+        [{"@id": EX + "g1",
+          "@graph": [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}]}],
+    ),
+    (
+        "keyword aliases",
+        {"@context": {"id": "@id", "type": "@type", "ex": EX},
+         "id": EX + "n", "type": "ex:Type", "ex:p": "v"},
+        [{"@id": EX + "n", "@type": [EX + "Type"],
+          EX + "p": [{"@value": "v"}]}],
+    ),
+    (
+        "null context resets term definitions and defaults",
+        {"@context": [{"@vocab": EX, "@language": "en"}, None],
+         "@id": EX + "n", EX + "p": "v"},
+        [{"@id": EX + "n", EX + "p": [{"@value": "v"}]}],
+    ),
+    (
+        "free-floating values and @id-only nodes are dropped",
+        ["free floating string",
+         {"@value": "free floating value"},
+         {"@id": EX + "alone"},
+         {},
+         {"@id": EX + "n", EX + "p": "v"}],
+        [{"@id": EX + "n", EX + "p": [{"@value": "v"}]}],
+    ),
+    (
+        "native JSON types preserved; null properties removed",
+        {"@context": {"e": EX},
+         "@id": EX + "n", "e:int": 42, "e:double": 4.2, "e:bool": True,
+         "e:null": None},
+        [{"@id": EX + "n",
+          EX + "bool": [{"@value": True}],
+          EX + "double": [{"@value": 4.2}],
+          EX + "int": [{"@value": 42}]}],
+    ),
+    (
+        "@language case preserved verbatim in value objects",
+        {"@id": EX + "n", EX + "p": {"@value": "v", "@language": "EN-us"}},
+        [{"@id": EX + "n",
+          EX + "p": [{"@value": "v", "@language": "EN-us"}]}],
+    ),
+    (
+        "term definitions may chain through other terms",
+        {"@context": {"ex": EX, "p": "ex:p", "sub": {"@id": "p"}},
+         "@id": EX + "n", "sub": "v"},
+        [{"@id": EX + "n", EX + "p": [{"@value": "v"}]}],
+    ),
+    (
+        "@list container with @type @id coercion resolves entries",
+        {"@context": {"p": {"@id": EX + "p", "@container": "@list",
+                            "@type": "@id"}},
+         "@id": EX + "n", "p": [EX + "a", "rel"]},
+        [{"@id": EX + "n",
+          EX + "p": [{"@list": [{"@id": EX + "a"},
+                                {"@id": BASE + "rel"}]}]}],
+    ),
+    (
+        "blank node identifiers pass through unchanged",
+        {"@id": "_:b1", "@type": [EX + "T1", EX + "T2"],
+         EX + "p": {"@id": "_:b2"}},
+        [{"@id": "_:b1", "@type": [EX + "T1", EX + "T2"],
+          EX + "p": [{"@id": "_:b2"}]}],
+    ),
+    (
+        "@type values expand vocab-relative (CURIE)",
+        {"@context": {"dc": "http://purl.org/dc/terms/"},
+         "@id": EX + "n", "@type": "dc:Agent"},
+        [{"@id": EX + "n", "@type": ["http://purl.org/dc/terms/Agent"]}],
+    ),
+    (
+        "nested arrays are flattened",
+        {"@context": {"p": EX + "p"},
+         "@id": EX + "n", "p": [["a", "b"], "c"]},
+        [{"@id": EX + "n",
+          EX + "p": [{"@value": "a"}, {"@value": "b"}, {"@value": "c"}]}],
+    ),
+    (
+        "terms mapped to null drop their keys",
+        {"@context": {"skip": None, "keep": EX + "keep"},
+         "@id": EX + "n", "skip": "x", "keep": "y"},
+        [{"@id": EX + "n", EX + "keep": [{"@value": "y"}]}],
+    ),
+    (
+        "keys that are relative IRIs are dropped without @vocab",
+        {"@id": EX + "n", "relativeprop": "x", EX + "p": "y"},
+        [{"@id": EX + "n", EX + "p": [{"@value": "y"}]}],
+    ),
+    (
+        "@index is preserved on node objects",
+        {"@id": EX + "n", EX + "p": {"@id": EX + "o", "@index": "idx"}},
+        [{"@id": EX + "n", EX + "p": [{"@id": EX + "o", "@index": "idx"}]}],
+    ),
+    (
+        "empty arrays are preserved in expansion",
+        {"@id": EX + "n", EX + "p": [], EX + "q": "v"},
+        [{"@id": EX + "n", EX + "p": [], EX + "q": [{"@value": "v"}]}],
+    ),
+    (
+        # expansion merges with alwaysArray only (Processor.php:493 — the
+        # `true` is $alwaysArray, not $unique); dedup happens later in
+        # generateNodeMap (:1977). See the flatten fixture for the dedup.
+        "duplicate values are NOT merged during expansion",
+        {"@id": EX + "n", EX + "p": ["v", "v", {"@value": "v"}]},
+        [{"@id": EX + "n",
+          EX + "p": [{"@value": "v"}, {"@value": "v"}, {"@value": "v"}]}],
+    ),
+    (
+        "unlabeled blank nodes never compare equal on merge",
+        {"@id": EX + "n",
+         EX + "p": [{EX + "q": "v"}, {EX + "q": "v"}]},
+        [{"@id": EX + "n",
+          EX + "p": [{EX + "q": [{"@value": "v"}]},
+                     {EX + "q": [{"@value": "v"}]}]}],
+    ),
+]
+
+# --------------------------------------------------------------------------
+# flatten tests: (name, input, expected) — output array order is the
+# ksort order of node ids (Processor.php:2106-2114).
+# --------------------------------------------------------------------------
+
+FLATTEN = [
+    (
+        "nodes merge by @id and sort",
+        {"@context": {"p": EX + "p",
+                      "knows": {"@id": EX + "knows", "@type": "@id"}},
+         "@graph": [{"@id": EX + "b", "knows": EX + "a"},
+                    {"@id": EX + "a", "p": "v"}]},
+        [{"@id": EX + "a", EX + "p": [{"@value": "v"}]},
+         {"@id": EX + "b", EX + "knows": [{"@id": EX + "a"}]}],
+    ),
+    (
+        "blank nodes relabel in first-visit order",
+        {EX + "p": {EX + "q": "v"}},
+        [{"@id": "_:b0", EX + "p": [{"@id": "_:b1"}]},
+         {"@id": "_:b1", EX + "q": [{"@value": "v"}]}],
+    ),
+    (
+        "named graphs nest under their graph-name node",
+        {"@id": EX + "g", "@graph": [{"@id": EX + "a", EX + "p": "v"}]},
+        [{"@id": EX + "g",
+          "@graph": [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}]}],
+    ),
+    (
+        "@id-only nodes are pruned from the output",
+        {"@id": EX + "n", EX + "p": {"@id": EX + "only"}},
+        [{"@id": EX + "n", EX + "p": [{"@id": EX + "only"}]}],
+    ),
+    (
+        "@reverse edges are redistributed to the pointing node",
+        {"@id": EX + "a",
+         "@reverse": {EX + "p": {"@id": EX + "b", EX + "q": "v"}}},
+        [{"@id": EX + "b", EX + "p": [{"@id": EX + "a"}],
+          EX + "q": [{"@value": "v"}]}],
+    ),
+    (
+        "@list values survive the node map",
+        {"@id": EX + "n", EX + "p": {"@list": ["a"]}},
+        [{"@id": EX + "n", EX + "p": [{"@list": [{"@value": "a"}]}]}],
+    ),
+    (
+        "blank node @type values are relabeled",
+        {"@id": EX + "n", "@type": "_:t"},
+        [{"@id": EX + "n", "@type": ["_:b0"]}],
+    ),
+    (
+        "duplicate values dedup in the node map",
+        {"@id": EX + "n", EX + "p": ["v", "v", {"@value": "v"}]},
+        [{"@id": EX + "n", EX + "p": [{"@value": "v"}]}],
+    ),
+    (
+        "split node definitions merge",
+        [{"@id": EX + "a", EX + "p": "1"},
+         {"@id": EX + "a", EX + "q": "2"}],
+        [{"@id": EX + "a", EX + "p": [{"@value": "1"}],
+          EX + "q": [{"@value": "2"}]}],
+    ),
+    (
+        "embedded node objects are split out and referenced",
+        {"@id": EX + "n",
+         EX + "p": [{EX + "q": "v"}, {EX + "q": "v"}]},
+        [{"@id": "_:b0", EX + "q": [{"@value": "v"}]},
+         {"@id": "_:b1", EX + "q": [{"@value": "v"}]},
+         {"@id": EX + "n", EX + "p": [{"@id": "_:b0"}, {"@id": "_:b1"}]}],
+    ),
+]
+
+# --------------------------------------------------------------------------
+# toRdf tests: (name, input, expected-lines, options) — compared as
+# sorted line SETS (W3CTestSuiteTest.php:317-322).
+# --------------------------------------------------------------------------
+
+RDF_TYPE_IRI = RDF + "type"
+RDF_FIRST = RDF + "first"
+RDF_REST = RDF + "rest"
+RDF_NIL = RDF + "nil"
+
+TORDF = [
+    (
+        "plain string literal (xsd:string suppressed)",
+        {"@id": EX + "n", EX + "p": "v"},
+        [f'<{EX}n> <{EX}p> "v" .'],
+        {},
+    ),
+    (
+        "native integer",
+        {"@id": EX + "n", EX + "p": 42},
+        [f'<{EX}n> <{EX}p> "42"^^<{XSD}integer> .'],
+        {},
+    ),
+    (
+        "canonical double formatting",
+        {"@id": EX + "n", EX + "d1": 4.2, EX + "d2": 5.3,
+         EX + "d3": 1e24, EX + "d4": 1.0e-7},
+        [f'<{EX}n> <{EX}d1> "4.2E0"^^<{XSD}double> .',
+         f'<{EX}n> <{EX}d2> "5.3E0"^^<{XSD}double> .',
+         f'<{EX}n> <{EX}d3> "1.0E24"^^<{XSD}double> .',
+         f'<{EX}n> <{EX}d4> "1.0E-7"^^<{XSD}double> .'],
+        {},
+    ),
+    (
+        "integral float becomes xsd:integer",
+        {"@id": EX + "n", EX + "p": 4.0},
+        [f'<{EX}n> <{EX}p> "4"^^<{XSD}integer> .'],
+        {},
+    ),
+    (
+        "booleans",
+        {"@id": EX + "n", EX + "t": True, EX + "f": False},
+        [f'<{EX}n> <{EX}t> "true"^^<{XSD}boolean> .',
+         f'<{EX}n> <{EX}f> "false"^^<{XSD}boolean> .'],
+        {},
+    ),
+    (
+        "language-tagged strings keep their tag verbatim",
+        {"@id": EX + "n",
+         EX + "p": {"@value": "hi", "@language": "en"},
+         EX + "q": {"@value": "x", "@language": "EN-us"}},
+        [f'<{EX}n> <{EX}p> "hi"@en .',
+         f'<{EX}n> <{EX}q> "x"@EN-us .'],
+        {},
+    ),
+    (
+        "blank node labels assigned in first-visit sorted order",
+        {EX + "p": [{EX + "q": "a"}, {EX + "q": "b"}]},
+        [f'_:b0 <{EX}p> _:b1 .',
+         f'_:b0 <{EX}p> _:b2 .',
+         f'_:b1 <{EX}q> "a" .',
+         f'_:b2 <{EX}q> "b" .'],
+        {},
+    ),
+    (
+        "@list becomes an rdf:first/rdf:rest chain",
+        {"@id": EX + "n", EX + "p": {"@list": ["a", "b"]}},
+        [f'<{EX}n> <{EX}p> _:b0 .',
+         f'_:b0 <{RDF_FIRST}> "a" .',
+         f'_:b0 <{RDF_REST}> _:b1 .',
+         f'_:b1 <{RDF_FIRST}> "b" .',
+         f'_:b1 <{RDF_REST}> <{RDF_NIL}> .'],
+        {},
+    ),
+    (
+        "empty @list is rdf:nil",
+        {"@id": EX + "n", EX + "p": {"@list": []}},
+        [f'<{EX}n> <{EX}p> <{RDF_NIL}> .'],
+        {},
+    ),
+    (
+        "named graphs emit the graph term",
+        {"@id": EX + "g", "@graph": [{"@id": EX + "a", EX + "p": "v"}]},
+        [f'<{EX}a> <{EX}p> "v" <{EX}g> .'],
+        {},
+    ),
+    (
+        "blank node predicates are dropped by default",
+        {"@id": EX + "n", "_:p": "v"},
+        [],
+        {},
+    ),
+    (
+        # blank predicates are relabeled by the node-map counter
+        # (Processor.php:2044-2046) before the generalized-RDF gate
+        "blank node predicates survive with produceGeneralizedRdf",
+        {"@id": EX + "n", "_:p": "v"},
+        [f'<{EX}n> _:b0 "v" .'],
+        {"produceGeneralizedRdf": True},
+    ),
+    (
+        "@type maps to rdf:type",
+        {"@id": EX + "n", "@type": EX + "T"},
+        [f'<{EX}n> <{RDF_TYPE_IRI}> <{EX}T> .'],
+        {},
+    ),
+    (
+        "integral value with explicit xsd:double type",
+        {"@id": EX + "n",
+         EX + "p": {"@value": 4, "@type": XSD + "double"}},
+        [f'<{EX}n> <{EX}p> "4.0E0"^^<{XSD}double> .'],
+        {},
+    ),
+    (
+        "only newline and quote are escaped (bug-compat)",
+        {"@id": EX + "n", EX + "p": 'line1\nsay "hi" \\ tab\there'},
+        [f'<{EX}n> <{EX}p> "line1\\nsay \\"hi\\" \\ tab\there" .'],
+        {},
+    ),
+    (
+        "explicit xsd:string type is suppressed in N-Quads",
+        {"@id": EX + "n", EX + "p": {"@value": "v", "@type": XSD + "string"}},
+        [f'<{EX}n> <{EX}p> "v" .'],
+        {},
+    ),
+    (
+        "@reverse emits the reversed triple",
+        {"@id": EX + "a", "@reverse": {EX + "p": {"@id": EX + "b"}}},
+        [f'<{EX}b> <{EX}p> <{EX}a> .'],
+        {},
+    ),
+    (
+        "kitchen sink: types, lists, graphs, literals",
+        {"@context": {"v": EX + "vocab#", "@language": "en"},
+         "@id": EX + "doc", "@type": "v:Document",
+         "v:title": "The Title",
+         "v:rank": 3,
+         "v:score": 0.5,
+         "v:steps": {"@list": [{"@id": EX + "s1"}, {"@id": EX + "s2"}]}},
+        [f'<{EX}doc> <{RDF_TYPE_IRI}> <{EX}vocab#Document> .',
+         f'<{EX}doc> <{EX}vocab#rank> "3"^^<{XSD}integer> .',
+         f'<{EX}doc> <{EX}vocab#score> "5.0E-1"^^<{XSD}double> .',
+         f'<{EX}doc> <{EX}vocab#steps> _:b0 .',
+         f'<{EX}doc> <{EX}vocab#title> "The Title"@en .',
+         f'_:b0 <{RDF_FIRST}> <{EX}s1> .',
+         f'_:b0 <{RDF_REST}> _:b1 .',
+         f'_:b1 <{RDF_FIRST}> <{EX}s2> .',
+         f'_:b1 <{RDF_REST}> <{RDF_NIL}> .'],
+        {},
+    ),
+]
+
+# --------------------------------------------------------------------------
+# fromRdf tests: (name, nquads-lines, expected, options)
+# --------------------------------------------------------------------------
+
+FROMRDF = [
+    (
+        "plain literal",
+        [f'<{EX}a> <{EX}p> "v" .'],
+        [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}],
+        {},
+    ),
+    (
+        "rdf:type maps to @type",
+        [f'<{EX}a> <{RDF_TYPE_IRI}> <{EX}T> .'],
+        [{"@id": EX + "a", "@type": [EX + "T"]}],
+        {},
+    ),
+    (
+        "rdf list chains reconstruct to @list",
+        [f'<{EX}a> <{EX}p> _:l0 .',
+         f'_:l0 <{RDF_FIRST}> "x" .',
+         f'_:l0 <{RDF_REST}> _:l1 .',
+         f'_:l1 <{RDF_FIRST}> "y" .',
+         f'_:l1 <{RDF_REST}> <{RDF_NIL}> .'],
+        [{"@id": EX + "a",
+          EX + "p": [{"@list": [{"@value": "x"}, {"@value": "y"}]}]}],
+        {},
+    ),
+    (
+        "useNativeTypes round-trips typed literals",
+        [f'<{EX}a> <{EX}i> "42"^^<{XSD}integer> .',
+         f'<{EX}a> <{EX}d> "4.2E0"^^<{XSD}double> .',
+         f'<{EX}a> <{EX}b> "true"^^<{XSD}boolean> .'],
+        [{"@id": EX + "a",
+          EX + "b": [{"@value": True}],
+          EX + "d": [{"@value": 4.2}],
+          EX + "i": [{"@value": 42}]}],
+        {"useNativeTypes": True},
+    ),
+    (
+        "named graph quads nest under @graph",
+        [f'<{EX}a> <{EX}p> "v" <{EX}g> .'],
+        [{"@id": EX + "g",
+          "@graph": [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}]}],
+        {},
+    ),
+]
+
+# --------------------------------------------------------------------------
+# negative (error) tests: (name, input, expected error code)
+# --------------------------------------------------------------------------
+
+ERRORS = [
+    (
+        "list of lists",
+        {"@id": EX + "n", EX + "p": {"@list": [{"@list": ["a"]}]}},
+        "list of lists",
+    ),
+    (
+        "invalid @reverse property value",
+        {"@id": EX + "n", "@reverse": {EX + "p": "not-a-node"}},
+        "invalid reverse property value",
+    ),
+    (
+        "colliding keywords",
+        {"@context": {"id": "@id"}, "@id": EX + "a", "id": EX + "b"},
+        "colliding keywords",
+    ),
+    (
+        "cyclic IRI mapping",
+        {"@context": {"a": "b:x", "b": "a:x"}, "@id": EX + "n", "a:p": "v"},
+        "cyclic IRI mapping",
+    ),
+    (
+        "keyword redefinition",
+        {"@context": {"@id": EX}, "@id": EX + "n", EX + "p": "v"},
+        "keyword redefinition",
+    ),
+]
+
+
+def _write(path: str, text: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(text)
+
+
+def _json(value) -> str:
+    return json.dumps(value, indent=2, ensure_ascii=False, sort_keys=False) + "\n"
+
+
+def main() -> None:
+    manifests = []
+
+    def emit(kind: str, test_type: str, cases, in_ext: str = "jsonld") -> None:
+        seq = []
+        for i, case in enumerate(cases, start=1):
+            name = case[0]
+            nid = f"{kind}-{i:04d}"
+            entry = {
+                "@id": f"#t-{nid}",
+                "@type": ["jld:PositiveEvaluationTest", f"jld:{test_type}"],
+                "name": name,
+                "input": f"{kind}/{nid}-in.{in_ext}",
+            }
+            if kind == "error":
+                entry["@type"] = ["jld:NegativeEvaluationTest", "jld:ExpandTest"]
+                entry["expectErrorCode"] = case[2]
+                _write(os.path.join(OUT, f"{kind}/{nid}-in.jsonld"), _json(case[1]))
+            elif kind == "toRdf":
+                entry["expect"] = f"{kind}/{nid}-out.nq"
+                if case[3]:
+                    entry["option"] = case[3]
+                _write(os.path.join(OUT, f"{kind}/{nid}-in.jsonld"), _json(case[1]))
+                _write(os.path.join(OUT, f"{kind}/{nid}-out.nq"),
+                       "".join(line + "\n" for line in case[2]))
+            elif kind == "fromRdf":
+                entry["input"] = f"{kind}/{nid}-in.nq"
+                entry["expect"] = f"{kind}/{nid}-out.jsonld"
+                if case[3]:
+                    entry["option"] = case[3]
+                _write(os.path.join(OUT, f"{kind}/{nid}-in.nq"),
+                       "".join(line + "\n" for line in case[1]))
+                _write(os.path.join(OUT, f"{kind}/{nid}-out.jsonld"), _json(case[2]))
+            else:
+                entry["expect"] = f"{kind}/{nid}-out.jsonld"
+                _write(os.path.join(OUT, f"{kind}/{nid}-in.jsonld"), _json(case[1]))
+                _write(os.path.join(OUT, f"{kind}/{nid}-out.jsonld"), _json(case[2]))
+            seq.append(entry)
+        manifest = {
+            "@id": f"manifest-{kind}",
+            "name": kind,
+            "baseIri": BASE,
+            "description": (
+                "Hand-authored JSON-LD 1.0 conformance fixtures mirroring the "
+                "public json-ld.org test-suite structure; expected outputs "
+                "derived from the reference implementation's source "
+                "(see tools/author_w3c_fixtures.py)."
+            ),
+            "sequence": seq,
+        }
+        _write(os.path.join(OUT, f"manifest-{kind}.jsonld"), _json(manifest))
+        manifests.append(f"manifest-{kind}.jsonld")
+
+    emit("expand", "ExpandTest", EXPAND)
+    emit("flatten", "FlattenTest", FLATTEN)
+    emit("toRdf", "ToRDFTest", TORDF)
+    emit("fromRdf", "FromRDFTest", FROMRDF)
+    emit("error", "ExpandTest", ERRORS)
+    _write(os.path.join(OUT, "manifest.jsonld"),
+           _json({"@id": "manifest", "name": "root", "sequence": manifests}))
+    total = len(EXPAND) + len(FLATTEN) + len(TORDF) + len(FROMRDF) + len(ERRORS)
+    print(f"wrote {total} tests under {os.path.abspath(OUT)}")
+
+
+if __name__ == "__main__":
+    main()
