@@ -31,7 +31,12 @@ def _object_to_jsonld(quad, use_native_types: bool):
     return literal_to_jsonld(quad.obj_value, quad.obj_type, quad.obj_lang, use_native_types)
 
 
-def quads_to_jsonld(quads, use_native_types: bool = False, use_rdf_type: bool = False) -> list:
+def _ingest_quads(quads, use_native_types: bool, use_rdf_type: bool,
+                  value_index: dict | None = None):
+    """The fromRdf ingestion loop (Processor.php:2294-2353): build the
+    per-graph node maps plus the IRI-object usage indexes the list walk
+    needs. ``value_index`` (optional) records the value dict created for
+    each IRI-object quad so callers can detect @list substitutions."""
     graphs: dict = {DEFAULT_GRAPH: {}}
     usages: dict = {}
     nil_usages: dict = {}  # graph name -> usage list (reference stores
@@ -67,7 +72,14 @@ def quads_to_jsonld(quads, use_native_types: bool = False, use_rdf_type: bool = 
                 usages.setdefault(obj, {}).setdefault(
                     f"{graph_name}|{subject}|{prop}", usage
                 )
+            if value_index is not None:
+                value_index[(graph_name, subject, prop, obj)] = value
 
+    return graphs, usages, nil_usages
+
+
+def quads_to_jsonld(quads, use_native_types: bool = False, use_rdf_type: bool = False) -> list:
+    graphs, usages, nil_usages = _ingest_quads(quads, use_native_types, use_rdf_type)
     _create_list_objects(graphs, usages, nil_usages)
 
     document = []
@@ -130,3 +142,67 @@ def _create_list_objects(graphs: dict, usages: dict, nil_usages: dict) -> None:
             head["@list"] = list(reversed(items))
             for list_node in list_nodes:
                 graph.pop(list_node, None)
+
+
+def list_replacements(quads, use_native_types: bool = False,
+                      use_rdf_type: bool = False):
+    """Compute the @list substitutions the reference's fromRdf would
+    apply, without assembling nodes.
+
+    Input: the list-machinery SUBSET of a graph's quads — every quad
+    whose subject carries rdf:first/rdf:rest, every quad referencing
+    such a subject, and every rdf:nil reference. That subset is exactly
+    what the chain walk (Processor.php:2396-2466) reads: the walk
+    inspects only candidate nodes' full property maps (present: own
+    quads), their usage counts (present: referencing quads), and nil
+    usages — so running the kernel walk on the subset yields the same
+    substitutions as running it on the whole graph.
+
+    Returns (replacements, consumed):
+      replacements — [(graph, subject, predicate, old_obj, items)]
+        where the quad (subject, predicate, old_obj) becomes the value
+        {"@list": items};
+      consumed — [(graph, node_id)] chain nodes to drop entirely.
+    """
+    value_index: dict = {}
+    graphs, usages, nil_usages = _ingest_quads(
+        quads, use_native_types, use_rdf_type, value_index
+    )
+    before = {g: set(nodes) for g, nodes in graphs.items()}
+    _create_list_objects(graphs, usages, nil_usages)
+
+    replacements = [
+        (graph_name, subject, prop, obj, value["@list"])
+        for (graph_name, subject, prop, obj), value in value_index.items()
+        if "@list" in value and "@id" not in value
+    ]
+    consumed = [
+        (graph_name, node_id)
+        for graph_name, ids in before.items()
+        for node_id in ids - set(graphs.get(graph_name, {}))
+    ]
+    return replacements, consumed
+
+
+def assemble_node(subject: str, rows, use_native_types: bool = False,
+                  use_rdf_type: bool = False) -> dict:
+    """Assemble one expanded node object from its (pre-sorted) quads —
+    the per-subject slice of the reference's fromRdf ingestion
+    (Processor.php:2294-2322) with @list substitutions pre-applied.
+
+    ``rows``: iterable of (predicate, obj_kind, obj_value, obj_type,
+    obj_lang, list_items-or-None).
+    """
+    node: dict = {"@id": subject}
+    for pred, kind, val, typ, lang, items in rows:
+        if items is not None:
+            value = {"@list": items}
+        elif kind == "iri":
+            if pred == RDF_TYPE and not use_rdf_type:
+                merge_into_property(node, "@type", val, True, True)
+                continue
+            value = {"@id": val}
+        else:
+            value = literal_to_jsonld(val, typ, lang, use_native_types)
+        merge_into_property(node, pred, value, True, True)
+    return node

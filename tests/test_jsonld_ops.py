@@ -81,17 +81,100 @@ def test_flatten_documents_shape(spark):
     assert len(turn_nodes) == 1
 
 
-def test_from_rdf_nodes_matches_kernel(spark):
-    tri = kg_triples(spark, SF)
-    nodes = from_rdf_nodes(tri, use_native_types=True).collect()
+def _kernel_expected(rows, **kw):
+    """Kernel golden under the distributed operator's canonical quad
+    order (a DataFrame has no input order, so the operator sorts
+    per-node; the kernel sees the same order via a global sort)."""
     quads = [
         Quad(None, r["subject"], r["predicate"], r["obj_kind"], r["obj_value"],
              r["obj_type"], r["obj_lang"])
-        for r in tri.collect()
+        for r in sorted(
+            rows,
+            key=lambda r: (r["subject"], r["predicate"], r["obj_kind"],
+                           r["obj_value"], r["obj_type"] or "", r["obj_lang"] or ""),
+        )
     ]
-    expected = {
+    return {
         n["@id"]: json.dumps(n, sort_keys=True)
-        for n in quads_to_jsonld(quads, use_native_types=True)
+        for n in quads_to_jsonld(quads, **kw)
     }
+
+
+def test_from_rdf_nodes_matches_kernel(spark):
+    """One big default graph (every pipeline quad): the exact scenario
+    that collapsed onto a single task in the round-1 whole-graph
+    grouping; output must still match the kernel."""
+    tri = kg_triples(spark, SF)
+    nodes = from_rdf_nodes(tri, use_native_types=True).collect()
+    expected = _kernel_expected(tri.collect(), use_native_types=True)
     actual = {r["subject"]: r["node"] for r in nodes}
     assert actual == expected
+
+
+TRIPLE_SCHEMA = ("graph string, subject string, predicate string, obj_kind string, "
+                 "obj_value string, obj_type string, obj_lang string")
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def test_from_rdf_nodes_list_chains(spark):
+    """rdf list machinery: a well-formed chain, a malformed chain
+    (extra property on a node), a direct rdf:nil reference, and a
+    named-graph quad — all must match the kernel walk."""
+    e = "http://e.com/"
+    rows = [
+        # well-formed 2-element chain
+        (None, e + "a", e + "p", "iri", "_:l0", None, None),
+        (None, "_:l0", RDF_NS + "first", "literal", "x", None, None),
+        (None, "_:l0", RDF_NS + "rest", "iri", "_:l1", None, None),
+        (None, "_:l1", RDF_NS + "first", "literal", "y", None, None),
+        (None, "_:l1", RDF_NS + "rest", "iri", RDF_NS + "nil", None, None),
+        # malformed chain: _:m0 carries an extra property
+        (None, e + "b", e + "p", "iri", "_:m0", None, None),
+        (None, "_:m0", RDF_NS + "first", "literal", "z", None, None),
+        (None, "_:m0", RDF_NS + "rest", "iri", RDF_NS + "nil", None, None),
+        (None, "_:m0", e + "extra", "literal", "w", None, None),
+        # direct rdf:nil reference (empty list)
+        (None, e + "c", e + "q", "iri", RDF_NS + "nil", None, None),
+        # plain node + named graph
+        (None, e + "d", e + "r", "literal", "v", None, None),
+        (e + "g", e + "a", e + "p", "literal", "in-graph", None, None),
+    ]
+    sdf = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    out = from_rdf_nodes(sdf).collect()
+
+    # kernel golden per graph (the distributed shape is flat rows per graph)
+    by_graph: dict = {}
+    for r in sdf.collect():
+        by_graph.setdefault(r["graph"], []).append(r)
+    expected = {}
+    for gname, grows in by_graph.items():
+        stripped = [
+            {"graph": None, "subject": r["subject"], "predicate": r["predicate"],
+             "obj_kind": r["obj_kind"], "obj_value": r["obj_value"],
+             "obj_type": r["obj_type"], "obj_lang": r["obj_lang"]}
+            for r in grows
+        ]
+        for subj, node in _kernel_expected(stripped).items():
+            expected[(gname, subj)] = node
+    actual = {(r["graph"], r["subject"]): r["node"] for r in out}
+    assert actual == expected
+    # the consumed chain nodes are gone; the malformed one survives
+    assert (None, "_:l0") not in actual and (None, "_:l1") not in actual
+    assert (None, "_:m0") in actual
+    assert json.loads(actual[(None, e + "c")])[e + "q"] == [{"@list": []}]
+
+
+def test_from_rdf_nodes_plan_has_no_whole_graph_group(spark):
+    """VERDICT.md #3 'done' criterion: the full quad stream is grouped
+    by (graph, subject), never by graph alone — only the bounded
+    list-machinery subset uses a per-graph pandas group."""
+    tri = kg_triples(spark, SF)
+    plan = from_rdf_nodes(tri)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1  # list resolver only
+    # the node assembly aggregates on both keys
+    assert "collect_list" in plan
+    agg_lines = [ln for ln in plan.splitlines()
+                 if "collect_list" in ln and "Aggregate" in ln]
+    assert agg_lines and all(
+        "gkey" in ln and "subject" in ln for ln in agg_lines
+    ), agg_lines
