@@ -58,9 +58,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cache[key]
 
     return {
-        # --- JSON-LD document transforms (reference API surface);
-        # full-document JSON output is not SQL-expressible, so these
-        # get rows-only driver checks; pytest covers them differentially
+        # --- JSON-LD document transforms (reference API surface).
+        # The per-turn payload is built by pure column exprs, so each
+        # transform's full JSON output (json.dumps sort_keys form) is
+        # reproduced exactly by a DuckDB oracle (sources/oracle.py)
         "jsonld_expand_docs": lambda spark, sf: jsonld_ops.expand_documents(_docs(spark, sf)),
         "jsonld_compact_docs": lambda spark, sf: jsonld_ops.compact_documents(_docs(spark, sf)),
         "jsonld_flatten_docs": lambda spark, sf: jsonld_ops.flatten_documents(_docs(spark, sf)),
@@ -135,6 +136,10 @@ def oracle_sql() -> dict[str, str]:
     from jsonld_spark.sources import oracle as O
 
     return {
+        "jsonld_expand_docs": O.jsonld_expand_docs_sql(),
+        "jsonld_compact_docs": O.jsonld_compact_docs_sql(),
+        "jsonld_flatten_docs": O.jsonld_flatten_docs_sql(),
+        "jsonld_fromrdf_nodes": O.jsonld_fromrdf_nodes_sql(),
         "kg_triples": O.kg_triples_sql(),
         "kg_nquads": O.kg_nquads_sql(),
         "kg_mention_links": O.kg_mention_detection_sql(),

@@ -24,15 +24,19 @@ V = E.VOCAB
 
 def resolved_values_sql() -> str:
     """VALUES table of the *resolved* link map (surface -> winning
-    entity), mirroring the literal map the Spark stage uses."""
+    entity), mirroring the literal map the Spark stage uses.
+    ``prior_str`` is the canonical xsd:double lexical form;
+    ``prior_repr`` is the Python/JSON shortest repr (what json.dumps
+    prints for the native float in expanded documents)."""
     parts = []
     for surface, row in sorted(E.resolved_link_map().items()):
         i = int(row["entity_id"].rsplit("E", 1)[1])
         parts.append(
             f"('{surface}', '{row['entity_id']}', '{row['type_term']}', "
-            f"'{E.entity_prior_str(i)}')"
+            f"'{E.entity_prior_str(i)}', '{E.entity_prior(i)!r}')"
         )
-    return "(VALUES " + ", ".join(parts) + ") AS lk(surface, entity_id, type_term, prior_str)"
+    return ("(VALUES " + ", ".join(parts)
+            + ") AS lk(surface, entity_id, type_term, prior_str, prior_repr)")
 
 
 def base_ctes() -> str:
@@ -55,7 +59,7 @@ men AS (
   WHERE j < n_mentions
 ),
 linked AS (
-  SELECT men.*, lk.entity_id, lk.type_term, lk.prior_str
+  SELECT men.*, lk.entity_id, lk.type_term, lk.prior_str, lk.prior_repr
   FROM men JOIN {resolved_values_sql()} USING (surface)
 )"""
 
@@ -218,6 +222,183 @@ subs AS (
   SELECT entity_id FROM linked WHERE turn_iri IN (SELECT turn_iri FROM sel)
 )
 SELECT * FROM triples WHERE subject IN (SELECT s FROM subs)"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document-transform oracles (VERDICT.md round-1 item #2): the per-turn
+# payload is assembled by pure column expressions (operators/extract.py),
+# so its expanded / compacted / flattened / fromRdf forms are exact,
+# SQL-derivable JSON strings — including json.dumps(sort_keys=True) key
+# order and ", " / ": " separators. The corpus text is ASCII-safe by
+# construction (sources/transcripts.py), so no JSON escaping is needed.
+
+_TS = "strftime(ts, '%Y-%m-%d %H:%M:%S')"
+_J = "CAST(j AS VARCHAR)"
+_TI = "CAST(turn_idx AS VARCHAR)"
+
+
+def _expanded_mention_json(id_expr: str | None = None) -> str:
+    """SQL expr: the expanded mention node object (sorted keys); with
+    ``id_expr`` a leading "@id" member is included (flatten shape)."""
+    id_part = f"'{{\"@id\": \"' || {id_expr} || '\", ' || " if id_expr else "'{' || "
+    return (
+        id_part
+        + f"""'"@type": ["{V}Mention"], """
+        + f""""{V}rank": [{{"@value": ' || {_J} || '}}], """
+        + f""""{V}score": [{{"@type": "{XSD_DOUBLE}", "@value": ' || prior_repr || '}}], """
+        + f""""{V}surface": [{{"@value": "' || surface || '"}}], """
+        + f""""{V}target": [{{"@id": "' || entity_id || '"}}]}}'"""
+    )
+
+
+def _expanded_turn_json(entities_expr: str, mentions_expr: str) -> str:
+    """SQL expr: the expanded turn node object (sorted keys), with the
+    entities / mentions member arrays supplied by the caller."""
+    return (
+        f"""'{{"@id": "' || turn_iri || '", "@type": ["{V}Turn"], """
+        + f""""{V}atTime": [{{"@value": "' || {_TS} || '"}}], """
+        + f""""{V}entities": [' || {entities_expr} || '], """
+        + f""""{V}inConversation": [{{"@id": "' || conv_iri || '"}}], """
+        + f""""{V}mentions": [' || {mentions_expr} || '], """
+        + f""""{V}role": [{{"@value": "' || role || '"}}], """
+        + f""""{V}text": [{{"@value": "' || text || '"}}], ' || """
+        + f"""CASE WHEN tool IS NOT NULL THEN '"{V}tool": [{{"@id": "{E.KG}tool/' || tool || '"}}], ' ELSE '' END || """
+        + f"""'"{V}turnIndex": [{{"@value": ' || {_TI} || '}}]}}'"""
+    )
+
+
+def jsonld_expand_docs_sql() -> str:
+    """Exact json.dumps(expand(doc), sort_keys=True) per turn."""
+    return (
+        base_ctes()
+        + f"""
+, ments AS (
+  SELECT conv_id, turn_idx,
+         string_agg({_expanded_mention_json()}, ', ' ORDER BY j) AS mentions_json,
+         string_agg('{{"@id": "' || entity_id || '"}}', ', ' ORDER BY j) AS entities_json
+  FROM linked GROUP BY 1, 2)
+SELECT t.conv_id, t.turn_idx,
+       '[' || {_expanded_turn_json("m.entities_json", "m.mentions_json")} || ']' AS doc
+FROM turns t JOIN ments m USING (conv_id, turn_idx)"""
+    )
+
+
+def jsonld_compact_docs_sql() -> str:
+    """Exact json.dumps(compact(expand(doc)), sort_keys=True) per turn:
+    terms compact back, 1-element arrays collapse (compactArrays)."""
+    mention_obj = (
+        """'{"@type": "Mention", "rank": ' || """ + _J
+        + """ || ', "score": ' || prior_repr || ', "surface": "' || surface"""
+        + """ || '", "target": "' || entity_id || '"}'"""
+    )
+    return (
+        base_ctes()
+        + f"""
+, ments AS (
+  SELECT conv_id, turn_idx, COUNT(*) AS nm,
+         string_agg({mention_obj}, ', ' ORDER BY j) AS mentions_json,
+         string_agg('"' || entity_id || '"', ', ' ORDER BY j) AS entities_json
+  FROM linked GROUP BY 1, 2)
+SELECT t.conv_id, t.turn_idx,
+       '{{"@id": "' || turn_iri || '", "@type": "Turn", "atTime": "' || {_TS} || '", '
+       || '"entities": ' || CASE WHEN nm = 1 THEN entities_json
+                                 ELSE '[' || entities_json || ']' END || ', '
+       || '"inConversation": "' || conv_iri || '", '
+       || '"mentions": ' || CASE WHEN nm = 1 THEN mentions_json
+                                 ELSE '[' || mentions_json || ']' END || ', '
+       || '"role": "' || role || '", "text": "' || text || '", '
+       || CASE WHEN tool IS NOT NULL
+               THEN '"tool": "{E.KG}tool/' || tool || '", ' ELSE '' END
+       || '"turnIndex": ' || {_TI} || '}}' AS doc
+FROM turns t JOIN ments m USING (conv_id, turn_idx)"""
+    )
+
+
+def jsonld_flatten_docs_sql() -> str:
+    """Exact json.dumps(flatten(doc), sort_keys=True) per turn: mention
+    bnodes relabel to _:b0.._:bN in first-visit order and sort before
+    the turn IRI; node-map value dedup keeps the first occurrence of a
+    duplicate entity reference; @id-only nodes (entity/conv/tool stubs)
+    are pruned."""
+    bnode = f"'_:b' || {_J}"
+    return (
+        base_ctes()
+        + f"""
+, ments AS (
+  SELECT conv_id, turn_idx,
+         string_agg({_expanded_mention_json(bnode)}, ', ' ORDER BY j) AS mnodes_json,
+         string_agg('{{"@id": "_:b' || {_J} || '"}}', ', ' ORDER BY j) AS mrefs_json
+  FROM linked GROUP BY 1, 2),
+first_ents AS (
+  SELECT conv_id, turn_idx, entity_id, MIN(j) AS fj
+  FROM linked GROUP BY 1, 2, 3),
+eagg AS (
+  SELECT conv_id, turn_idx,
+         string_agg('{{"@id": "' || entity_id || '"}}', ', ' ORDER BY fj) AS entities_json
+  FROM first_ents GROUP BY 1, 2)
+SELECT t.conv_id, t.turn_idx,
+       '[' || m.mnodes_json || ', '
+           || {_expanded_turn_json("e.entities_json", "m.mrefs_json")} || ']' AS doc
+FROM turns t
+JOIN ments m USING (conv_id, turn_idx)
+JOIN eagg e USING (conv_id, turn_idx)"""
+    )
+
+
+def jsonld_fromrdf_nodes_sql() -> str:
+    """Exact node JSON per subject for fromRdf(kg_triples,
+    useNativeTypes=true): quads are canonically sorted inside each node
+    (the operator's documented determinism rule), so value arrays sort
+    by object; xsd:string/integer/double collapse to natives."""
+    null_g = "CAST(NULL AS VARCHAR) AS graph"
+    return (
+        base_ctes()
+        + f"""
+, turn_ents AS (
+  SELECT DISTINCT conv_id, turn_idx, entity_id FROM linked),
+teagg AS (
+  SELECT conv_id, turn_idx,
+         string_agg('{{"@id": "' || entity_id || '"}}', ', ' ORDER BY entity_id) AS entities_json
+  FROM turn_ents GROUP BY 1, 2),
+mrefs AS (
+  SELECT conv_id, turn_idx,
+         string_agg('{{"@id": "' || bnode || '"}}', ', ' ORDER BY j) AS mrefs_json
+  FROM men GROUP BY 1, 2),
+ent_labels AS (
+  SELECT DISTINCT entity_id, type_term, surface FROM linked),
+eagg AS (
+  SELECT entity_id, type_term,
+         string_agg('{{"@value": "' || surface || '"}}', ', ' ORDER BY surface) AS labels_json
+  FROM ent_labels GROUP BY 1, 2)
+SELECT {null_g}, turn_iri AS subject,
+       '{{"@id": "' || turn_iri || '", "@type": ["{V}Turn"], '
+       || '"{V}atTime": [{{"@value": "' || {_TS} || '"}}], '
+       || '"{V}entities": [' || e.entities_json || '], '
+       || '"{V}inConversation": [{{"@id": "' || conv_iri || '"}}], '
+       || '"{V}mentions": [' || m.mrefs_json || '], '
+       || '"{V}role": [{{"@value": "' || role || '"}}], '
+       || '"{V}text": [{{"@value": "' || text || '"}}], '
+       || CASE WHEN tool IS NOT NULL
+               THEN '"{V}tool": [{{"@id": "{E.KG}tool/' || tool || '"}}], '
+               ELSE '' END
+       || '"{V}turnIndex": [{{"@value": ' || {_TI} || '}}]}}' AS node
+FROM turns t
+JOIN teagg e USING (conv_id, turn_idx)
+JOIN mrefs m USING (conv_id, turn_idx)
+UNION ALL
+SELECT {null_g}, bnode AS subject,
+       '{{"@id": "' || bnode || '", "@type": ["{V}Mention"], '
+       || '"{V}rank": [{{"@value": ' || {_J} || '}}], '
+       || '"{V}score": [{{"@value": ' || prior_repr || '}}], '
+       || '"{V}surface": [{{"@value": "' || surface || '"}}], '
+       || '"{V}target": [{{"@id": "' || entity_id || '"}}]}}' AS node
+FROM linked
+UNION ALL
+SELECT {null_g}, entity_id AS subject,
+       '{{"@id": "' || entity_id || '", "@type": ["{V}' || type_term || '"], '
+       || '"{V}label": [' || labels_json || ']}}' AS node
+FROM eagg"""
     )
 
 
