@@ -20,7 +20,9 @@ operator ships with an exact DuckDB oracle (`*_sql`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jsonld_spark.plans.session import read_table
@@ -30,7 +32,13 @@ JACCARD_THRESHOLD = 0.8
 NUM_MINHASH = 64
 LSH_BANDS = 16  # 16 bands x 4 rows
 SIMHASH_BITS = 60  # 15 hex digits of md5 -> fits a signed 64-bit int
-SIMHASH_BLOCKS = 4  # pigeonhole: hamming<=3 -> one of 4 blocks equal
+# Manku-style multi-block blocking (WWW'07 "Detecting Near-Duplicates
+# for Web Crawling"): split into B blocks; <= d differing bits touch
+# <= d blocks, so some (B - d)-subset of blocks is equal — block on all
+# C(B, B-d) subsets. With B=6, d=3: 20 keys/doc, each a 30-bit value
+# (~10^9 buckets), vs round 1's 4 keys over 15-bit values (32,768
+# buckets max — candidates grew ~n^2/2^15 at corpus scale).
+SIMHASH_BLOCKS = 6
 SIMHASH_MAX_HAMMING = 3
 
 
@@ -106,27 +114,60 @@ FROM h JOIN g USING (text_hash)"""
 
 # --- exact n-gram jaccard (inverted index) ---------------------------------
 
+def prefix_candidates(docs_with_shingles: DataFrame,
+                      threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs via PREFIX FILTERING (Bayardo et
+    al., WWW'07; Chaudhuri et al., ICDE'06) — exact, not probabilistic:
+
+    order each document's shingles by ascending global document
+    frequency (rarest first, ties by shingle); index only the first
+    ``|A| - ceil(t*|A|) + 1`` shingles of each document. Any pair with
+    Jaccard >= t must collide inside these prefixes, so the candidate
+    set is complete — while ubiquitous shingles (the O(df^2) blowup of
+    a raw inverted-index self-join, VERDICT.md round-1 item #4) sort to
+    the END of every document and are indexed only by tiny documents.
+    """
+    sh = docs_with_shingles.select("doc_id", F.explode("shingles").alias("s"))
+    df_counts = sh.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+    ranked = (
+        sh.join(df_counts, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("doc_id", "s")
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"),
+              (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
-    """All pairs with word-3-gram Jaccard >= threshold, via a shingle
-    inverted index: pairs sharing no shingle are never materialized.
-    At scale the ubiquitous-shingle heads would be df-capped; here the
-    exact semantics are kept so the oracle is exact too."""
+    """All pairs with word-3-gram Jaccard >= threshold — EXACT results
+    with prefix-filtered candidate generation (completeness guaranteed
+    by the prefix-filter theorem), then exact verification of the
+    candidate set by shingle-array intersection. No shingle self-join
+    on the full inverted index: a shingle appearing in d documents no
+    longer materializes O(d^2) candidate rows."""
     docs = with_shingles(read_table(spark, sf_dir, "documents"))
-    sh = docs.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    cand = prefix_candidates(docs, threshold)
+    sets = docs.select("doc_id", "shingles")
     return (
-        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
-        .where(F.col("jaccard") >= threshold)
+        cand.join(sets.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("shingles", "sa"), "doc_a")
+        .join(sets.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("shingles", "sb"), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("na", F.size("sa"))
+        .withColumn("nb", F.size("sb"))
+        .where(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) >= threshold)
         .select("doc_a", "doc_b", "inter", "na", "nb")
     )
 
@@ -286,27 +327,40 @@ sums AS (SELECT doc_id, {", ".join(contribs)} FROM toks GROUP BY doc_id)
 SELECT doc_id, {bits} AS simhash FROM sums"""
 
 
+def simhash_block_combos(blocks: int = SIMHASH_BLOCKS,
+                         max_hamming: int = SIMHASH_MAX_HAMMING) -> list[tuple[int, ...]]:
+    """All (blocks - max_hamming)-subsets of block indexes — the
+    pigeonhole-complete blocking keys (Manku et al.)."""
+    return list(itertools.combinations(range(blocks), blocks - max_hamming))
+
+
 def simhash_near_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING
 ) -> DataFrame:
-    """Pairs with hamming(simhash) <= max_hamming, found by equal-block
-    blocking (pigeonhole-complete for <= SIMHASH_BLOCKS-1 differing
-    bits) and verified with bit_count(xor)."""
+    """Pairs with hamming(simhash) <= max_hamming: Manku multi-block
+    blocking (complete by pigeonhole: <= d differing bits leave some
+    B-d blocks untouched), exact bit_count(xor) verification. Key
+    space is 2^((B-d)*block_bits) per combo — bucket count scales with
+    the corpus instead of capping at 2^15."""
     sims = simhash_values(spark, sf_dir)
     block_bits = SIMHASH_BITS // SIMHASH_BLOCKS
+
+    def block(b: int):
+        return F.shiftright(F.col("simhash"), block_bits * b).bitwiseAND(
+            F.lit(2**block_bits - 1)
+        )
+
+    combo_keys = [
+        sum(
+            (block(b) * F.lit(2 ** (block_bits * i)) for i, b in enumerate(combo)),
+            start=F.lit(0).cast("long"),
+        )
+        for combo in simhash_block_combos(SIMHASH_BLOCKS, max_hamming)
+    ]
     blocked = sims.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), block_bits * b).bitwiseAND(
-                        F.lit(2**block_bits - 1)
-                    )
-                    for b in range(SIMHASH_BLOCKS)
-                ]
-            )
-        ).alias("block", "blockval"),
+        F.posexplode(F.array(*combo_keys)).alias("block", "blockval"),
     )
     pairs = (
         blocked.alias("a")
