@@ -27,7 +27,17 @@ from jsonld_spark.plans.session import read_table
 QUANT = 1000
 N_QUERIES = 10
 TOP_K = 5
-N_PLANES = 8
+# LSH planes scale with the corpus (VERDICT.md round-1 item #5): the
+# effective plane count is ceil(log2(n / TARGET_BUCKET)) clamped to
+# [MIN_PLANES, MAX_PLANES], computed from COUNT(*) inside the plan (no
+# driver collect) — bucket population stays ~TARGET_BUCKET instead of
+# the within-bucket self-join growing n^2/2^planes under a fixed 8.
+# All MAX_PLANES sign bits are computed once; the bucket is the low
+# `planes` bits (full % 2^planes), so the same expression serves every
+# corpus size and the DuckDB oracle reproduces it bit-for-bit.
+MIN_PLANES = 4
+MAX_PLANES = 24
+TARGET_BUCKET = 16
 DIM = 64
 NEAR_DUP_COSINE = 0.95
 
@@ -65,12 +75,41 @@ def _dot_int(vec_col, coeffs: list[int]):
     )
 
 
-def _bucket_expr(qcol):
+def _bucket_full_expr(qcol):
+    """All MAX_PLANES sign bits as one integer."""
     bucket = None
-    for p in range(N_PLANES):
+    for p in range(MAX_PLANES):
         bit = F.when(_dot_int(qcol, hyperplane(p)) > 0, F.lit(2**p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return bucket.cast("int")
+    return bucket.cast("long")
+
+
+def _planes_expr(n_col):
+    """Effective plane count from the corpus size (a column, so the
+    whole derivation stays inside the plan)."""
+    return F.least(
+        F.lit(MAX_PLANES),
+        F.greatest(
+            F.lit(MIN_PLANES),
+            F.ceil(F.log2(n_col / F.lit(float(TARGET_BUCKET)))).cast("int"),
+        ),
+    )
+
+
+def _pow2_long(exp_col):
+    # exact for exponents <= MAX_PLANES (double mantissa)
+    return F.pow(F.lit(2.0), exp_col.cast("double")).cast("long")
+
+
+def _probe_expr(bucket_col, planes_col):
+    """Multiprobe keys: the bucket itself plus every 1-bit flip within
+    the effective planes — recall recovery for the sign-LSH buckets."""
+    return F.transform(
+        F.sequence(F.lit(0), planes_col),
+        lambda i: F.when(i == 0, bucket_col).otherwise(
+            bucket_col.bitwiseXOR(_pow2_long(i - 1))
+        ),
+    )
 
 
 def _pair_dot(a, b):
@@ -84,9 +123,18 @@ def _norm2(a):
 
 
 def with_buckets(embeddings: DataFrame) -> DataFrame:
+    """vec_id, label, quantized vector, effective plane count, and the
+    corpus-scaled LSH bucket (low `planes` bits of the full sign word).
+    The count is a 1-row broadcast crossJoin — no driver action."""
     q = _quantized()
-    return embeddings.select(
-        "vec_id", "label", q.alias("q"), _bucket_expr(q).alias("bucket")
+    n = embeddings.select(F.count("*").alias("n_vecs"))
+    planes = _planes_expr(F.col("n_vecs"))
+    return embeddings.crossJoin(F.broadcast(n)).select(
+        "vec_id",
+        "label",
+        q.alias("q"),
+        planes.alias("planes"),
+        F.pmod(_bucket_full_expr(q), _pow2_long(planes)).alias("bucket"),
     )
 
 
@@ -128,29 +176,59 @@ ranked AS (
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM ranked WHERE rank <= {k}"""
 
 
-def _bucket_sql() -> str:
+def _bucket_full_sql() -> str:
     parts = []
-    for p in range(N_PLANES):
+    for p in range(MAX_PLANES):
         coeffs = ", ".join(str(c) for c in hyperplane(p))
         parts.append(
-            f"(CASE WHEN list_dot_product(q, [{coeffs}]) > 0 THEN {2 ** p} ELSE 0 END)"
+            f"(CASE WHEN list_dot_product(q, [{coeffs}]) > 0 THEN CAST({2 ** p} AS BIGINT) ELSE 0 END)"
         )
     return " + ".join(parts)
+
+
+_PLANES_SQL = (
+    f"(SELECT LEAST({MAX_PLANES}, GREATEST({MIN_PLANES}, "
+    f"CAST(CEIL(LOG2(COUNT(*) / {float(TARGET_BUCKET)})) AS INT))) FROM embeddings)"
+)
+
+
+def _buckets_cte() -> str:
+    """CTE fragment: emb (quantized) + b (planes + scaled bucket) —
+    mirrors with_buckets bit-for-bit."""
+    return f"""emb AS (SELECT vec_id, {_quantized_sql()} AS q FROM embeddings),
+np AS (SELECT {_PLANES_SQL} AS planes),
+b AS (SELECT vec_id, q, planes,
+             ({_bucket_full_sql()}) % CAST(pow(2, planes) AS BIGINT) AS bucket
+      FROM emb, np)"""
+
+
+_PROBE_SQL = (
+    "unnest(list_transform(range(0, planes + 1), "
+    "i -> CASE WHEN i = 0 THEN bucket "
+    "ELSE xor(bucket, CAST(pow(2, i - 1) AS BIGINT)) END))"
+)
 
 
 def lsh_ann_topk(
     spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES
 ) -> DataFrame:
     """Approximate top-k: exact ranking restricted to the query's LSH
-    bucket. Deterministic (integer hyperplanes), so the oracle can
-    reproduce the same approximation exactly."""
+    bucket plus its 1-bit-flip MULTIPROBE buckets (recall recovery for
+    the corpus-scaled plane count). Deterministic (integer hyperplanes
+    + count-derived planes), so the oracle reproduces the same
+    approximation exactly."""
     emb = with_buckets(read_table(spark, sf_dir, "embeddings"))
-    queries = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("bucket").alias("qb")
+    probes = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.explode(_probe_expr(F.col("bucket"), F.col("planes"))).alias("probe"),
+        )
     )
     scored = emb.join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
     )
     cos = _pair_dot(F.col("q"), F.col("qq")) / F.sqrt(
         _norm2(F.col("q")) * _norm2(F.col("qq"))
@@ -166,14 +244,15 @@ def lsh_ann_topk(
 
 def lsh_ann_topk_sql(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
     return f"""
-WITH emb AS (SELECT vec_id, {_quantized_sql()} AS q FROM embeddings),
-b AS (SELECT vec_id, q, {_bucket_sql()} AS bucket FROM emb),
+WITH {_buckets_cte()},
+probes AS (
+  SELECT vec_id AS query_id, q AS qq, {_PROBE_SQL} AS probe
+  FROM b WHERE vec_id < {n_queries}),
 scored AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         list_dot_product(e.q, q.q) /
-           sqrt(list_dot_product(e.q, e.q) * list_dot_product(q.q, q.q)) AS cosine
-  FROM b e JOIN b q ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
-  WHERE q.vec_id < {n_queries}),
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.q, p.qq) /
+           sqrt(list_dot_product(e.q, e.q) * list_dot_product(p.qq, p.qq)) AS cosine
+  FROM b e JOIN probes p ON e.bucket = p.probe AND e.vec_id <> p.query_id),
 ranked AS (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -312,30 +391,50 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM ranked WHERE rank <
 def embedding_near_duplicates(
     spark: SparkSession, sf_dir: str, threshold: float = NEAR_DUP_COSINE
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within LSH buckets."""
+    """Embedding-cosine near-duplicate pairs: candidates collide when
+    their corpus-scaled LSH buckets are within hamming 1 (each vector
+    emits its bucket plus all 1-bit flips; a pair meets when either
+    side's flip hits the other's key — covers hamming <= 2), then
+    exact quantized-cosine verification. Candidate volume stays
+    ~(planes+1)^2 * n / 2^planes with planes ~ log2(n/16)."""
     emb = with_buckets(read_table(spark, sf_dir, "embeddings"))
-    pairs = (
-        emb.alias("a")
-        .join(
-            emb.alias("b"),
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn(
-            "cosine",
-            _pair_dot(F.col("a.q"), F.col("b.q"))
-            / F.sqrt(_norm2(F.col("a.q")) * _norm2(F.col("b.q"))),
-        )
-        .where(F.col("cosine") >= threshold)
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    keys = emb.select(
+        "vec_id",
+        F.explode(_probe_expr(F.col("bucket"), F.col("planes"))).alias("probe"),
     )
-    return pairs
+    cand = (
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a.probe") == F.col("b.probe")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    vecs = emb.select("vec_id", "q")
+    return (
+        cand.join(vecs.withColumnRenamed("vec_id", "vec_a")
+                  .withColumnRenamed("q", "qa"), "vec_a")
+        .join(vecs.withColumnRenamed("vec_id", "vec_b")
+              .withColumnRenamed("q", "qb"), "vec_b")
+        .where(
+            _pair_dot(F.col("qa"), F.col("qb"))
+            / F.sqrt(_norm2(F.col("qa")) * _norm2(F.col("qb"))) >= threshold
+        )
+        .select("vec_a", "vec_b")
+    )
 
 
 def embedding_near_duplicates_sql(threshold: float = NEAR_DUP_COSINE) -> str:
     return f"""
-WITH emb AS (SELECT vec_id, {_quantized_sql()} AS q FROM embeddings),
-bk AS (SELECT vec_id, q, {_bucket_sql()} AS bucket FROM emb)
-SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
-FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-WHERE list_dot_product(x.q, y.q) /
-      sqrt(list_dot_product(x.q, x.q) * list_dot_product(y.q, y.q)) >= {threshold}"""
+WITH {_buckets_cte()},
+keys AS (SELECT vec_id, {_PROBE_SQL} AS probe FROM b),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM keys x JOIN keys y ON x.probe = y.probe AND x.vec_id < y.vec_id)
+SELECT vec_a, vec_b
+FROM cand
+JOIN b ba ON ba.vec_id = vec_a
+JOIN b bb ON bb.vec_id = vec_b
+WHERE list_dot_product(ba.q, bb.q) /
+      sqrt(list_dot_product(ba.q, ba.q) * list_dot_product(bb.q, bb.q)) >= {threshold}"""
