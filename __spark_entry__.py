@@ -72,6 +72,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": cached_triples,
         "kg_nquads": lambda spark, sf: nquads_lines(cached_triples(spark, sf)),
         "kg_mention_links": kg_queries.mention_links,
+        # the dynamic-dictionary variant: salted shuffle join on the
+        # head-skewed surface key (north_rule); same oracle output
+        "kg_mention_links_salted": kg_queries.mention_links_salted,
         "kg_entity_mentions": kg_queries.entity_mention_counts,
         "kg_conversation_stats": kg_queries.conversation_stats,
         "kg_adjacency": lambda spark, sf: kg_queries.adjacency(
@@ -143,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": O.kg_triples_sql(),
         "kg_nquads": O.kg_nquads_sql(),
         "kg_mention_links": O.kg_mention_detection_sql(),
+        "kg_mention_links_salted": O.kg_mention_detection_sql(),
         "kg_entity_mentions": O.kg_entity_mentions_sql(),
         "kg_conversation_stats": O.kg_conversation_stats_sql(),
         "kg_adjacency": O.kg_adjacency_sql(),

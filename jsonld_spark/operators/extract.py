@@ -65,6 +65,29 @@ def detect_mentions(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def dictionary_df(spark) -> DataFrame:
+    """The canonical-entity dictionary as a DataFrame (the dynamic-
+    dictionary shape; the static path uses the literal map instead)."""
+    rows = [
+        (r["entity_id"], r["surface"], r["type_term"], float(r["prior"]))
+        for r in E.dictionary_rows()
+    ]
+    return spark.createDataFrame(
+        rows, "entity_id string, surface string, type_term string, prior double"
+    )
+
+
+def resolve_dictionary(dictionary: DataFrame) -> DataFrame:
+    """Per-surface argmax-prior resolution (ties -> smallest entity_id),
+    the distributed analogue of entities.resolved_link_map()."""
+    w = Window.partitionBy("surface").orderBy(F.desc("prior"), F.asc("entity_id"))
+    return (
+        dictionary.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def link_mentions_join(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
     """Broadcast-join entity linking with argmax-prior resolution.
 
@@ -72,13 +95,29 @@ def link_mentions_join(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
     per surface (argmax prior, ties -> smallest entity_id) and then
     broadcast — the big mention side never shuffles.
     """
-    w = Window.partitionBy("surface").orderBy(F.desc("prior"), F.asc("entity_id"))
-    resolved = (
-        dictionary.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    return mentions.join(F.broadcast(resolved), "surface", "left")
+    return mentions.join(F.broadcast(resolve_dictionary(dictionary)), "surface", "left")
+
+
+def link_mentions_join_salted(mentions: DataFrame, dictionary: DataFrame,
+                              buckets: int = 16) -> DataFrame:
+    """Entity linking as a SALTED shuffle join (north_rule): for when
+    the dictionary outgrows broadcast AND one surface's reducer
+    dominates the stage (spill / straggler). The mention side's surface
+    key is head-skewed by design (E0 carries ~44% of mentions,
+    sources/transcripts.py); salting spreads each surface over
+    ``buckets`` reducers and explodes the dictionary side to match.
+
+    Measured honestly (`bench.py --skew`, BENCH/BASELINE.md): at
+    sandbox scale the PLAIN join wins ~2x — clustered identical keys
+    compress the shuffle better and a 1.4-5.6M-row hot partition
+    neither spills nor dominates on a 128 GiB JVM. Salting is the
+    escape hatch for the regime where it does (hot partition >>
+    executor memory), so it is opt-in, result-identical to the
+    broadcast path (tests + driver oracle kg_mention_links_salted)."""
+    from jsonld_spark.operators.canonicalize import salt_join
+
+    return salt_join(mentions, resolve_dictionary(dictionary), ["surface"],
+                     buckets=buckets, how="inner")
 
 
 def with_payload(transcripts: DataFrame) -> DataFrame:
@@ -135,32 +174,45 @@ XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 def entity_triples(transcripts: DataFrame) -> DataFrame:
     """Corpus-level entity facts — (entity, rdf:type, Type) and
     (entity, label, surface) — via mention detection + the broadcast
-    link map, deduplicated relationally. This is the only part of the
-    triple set that repeats across turns, so it is the only part that
-    shuffles (a distinct over ~2 rows per mention; the head-entity
-    skew lands here and partial aggregation absorbs it)."""
+    link map. Only ``text`` is consumed, so callers can pass a
+    window-free text frame (sources/transcripts.transcript_texts) and
+    skip the turn-ordering shuffle entirely. The dedup is a
+    groupBy(surface) — map-side partial aggregation collapses the
+    head-entity skew to one row per surface per map task, so the
+    shuffle carries O(distinct surfaces × tasks) rows, not O(mentions)."""
     link = _link_map_expr()
-    mentions = detect_mentions(transcripts).select(
-        "surface", F.element_at(link, F.col("surface")).alias("e")
+    surfaces = (
+        transcripts.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(E.surface_pattern()), 1)
+            ).alias("surface")
+        )
+        .groupBy("surface")
+        .agg(F.count("*").alias("_n"))
+        .drop("_n")
+        .select("surface", F.element_at(link, F.col("surface")).alias("e"))
     )
-    typed = mentions.select(
+    null_s = F.lit(None).cast("string")
+    typed = F.struct(
         F.col("e")["entity_id"].alias("subject"),
         F.lit(RDF_TYPE).alias("predicate"),
         F.lit("iri").alias("obj_kind"),
         F.concat(F.lit(E.VOCAB), F.col("e")["type_term"]).alias("obj_value"),
-        F.lit(None).cast("string").alias("obj_type"),
-        F.lit(None).cast("string").alias("obj_lang"),
+        null_s.alias("obj_type"),
+        null_s.alias("obj_lang"),
     )
-    labeled = mentions.select(
+    labeled = F.struct(
         F.col("e")["entity_id"].alias("subject"),
         F.lit(E.VOCAB + "label").alias("predicate"),
         F.lit("literal").alias("obj_kind"),
         F.col("surface").alias("obj_value"),
-        F.lit(XSD_STRING).alias("obj_type"),
-        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(XSD_STRING).cast("string").alias("obj_type"),
+        null_s.alias("obj_lang"),
     )
+    # both fact rows per surface in ONE pass (a second consumer of the
+    # `surfaces` subtree would recompute the scan + regexp + groupBy)
     return (
-        typed.unionByName(labeled)
-        .select(F.lit(None).cast("string").alias("graph"), "*")
+        surfaces.select(F.explode(F.array(typed, labeled)).alias("f"))
+        .select(null_s.alias("graph"), "f.*")
         .dropDuplicates()
     )

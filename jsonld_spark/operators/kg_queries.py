@@ -7,8 +7,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jsonld_spark.operators.extract import _link_map_expr, detect_mentions
+from jsonld_spark.operators.extract import (
+    _link_map_expr,
+    detect_mentions,
+    dictionary_df,
+    link_mentions_join_salted,
+)
 from jsonld_spark.operators.kg_pipeline import kg_triples
+from jsonld_spark.sources import entities as E
 from jsonld_spark.sources.transcripts import transcripts_from_events
 
 
@@ -25,6 +31,21 @@ def mention_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mention_links_salted(spark: SparkSession, sf_dir: str,
+                         buckets: int = 16) -> DataFrame:
+    """The dynamic-dictionary linking path: mention detection joined
+    against a dictionary DataFrame via the SALTED shuffle join
+    (north_rule's skew-defusing canonicalization join). Same oracle as
+    the literal-map path — the two implementations must agree."""
+    t = transcripts_from_events(spark, sf_dir)
+    joined = link_mentions_join_salted(detect_mentions(t), dictionary_df(spark),
+                                       buckets=buckets)
+    return joined.select(
+        "conv_id", "turn_idx", F.col("rank").cast("int").alias("rank"),
+        "surface", "entity_id",
+    )
+
+
 def entity_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity mention aggregate — the head-skew groupBy (E0 carries
     ~44% of mentions); Spark's partial aggregation absorbs the skew."""
@@ -38,7 +59,12 @@ def conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation rollup with the stable (conv_id, turn_idx)
     ordering invariant feeding min/max."""
     t = transcripts_from_events(spark, sf_dir)
-    n_mentions = F.size(F.split(F.col("text"), " then | after ")).alias("n_mentions")
+    # count what the pipeline's mention DETECTOR finds (the dictionary
+    # surface alternation), not the synthetic corpus template's
+    # separators — stays correct on non-synthetic corpora (ADVICE r1)
+    n_mentions = F.size(
+        F.regexp_extract_all("text", F.lit(E.surface_pattern()), 1)
+    ).alias("n_mentions")
     return (
         t.withColumn("n_mentions", n_mentions)
         .groupBy("conv_id")

@@ -85,6 +85,25 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def transcript_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Just the text column, events-derived WITHOUT the row_number
+    window: text depends only on event_id, so consumers that need no
+    turn ordering (e.g. corpus-level entity facts) skip the window
+    shuffle entirely."""
+    ev = read_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    n_mentions = (eid % 3 + 1).cast("int")
+    s0, s1, s2 = (_mention_surface(eid, j) for j in range(3))
+    text = F.concat(
+        F.lit(TEXT_PREFIX),
+        s0,
+        F.when(n_mentions > 1, F.concat(F.lit(TEXT_SEP[0]), s1)).otherwise(F.lit("")),
+        F.when(n_mentions > 2, F.concat(F.lit(TEXT_SEP[1]), s2)).otherwise(F.lit("")),
+        F.lit(TEXT_SUFFIX),
+    )
+    return ev.select(text.alias("text"))
+
+
 # The same derivation as a DuckDB SQL fragment (CTE body), kept next to
 # the Spark version so they evolve together. `row_number` ordering and
 # the modular arithmetic are identical.
