@@ -49,11 +49,16 @@ class ActiveContext(dict):
     hottest call in the expansion kernel (~56 calls/document).
     """
 
-    __slots__ = ("defcache",)
+    __slots__ = ("defcache", "propcache")
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.defcache: dict = {}
+        # prop -> (expanded property, @container, @reverse) dispatch
+        # tuple: the three context lookups the expansion loop performs
+        # for every (property, value) pair, precompiled per frozen
+        # context (the kernel-CPU item from VERDICT.md round 1)
+        self.propcache: dict = {}
 
 
 def initial_context(base: str | None = None) -> dict:
@@ -127,6 +132,27 @@ def expand_iri(
     return value
 
 
+def property_dispatch(activectx: dict, prop: str):
+    """Precompiled per-property dispatch tuple for the expansion loop:
+    ``(expanded property, @container, @reverse)`` — the three context
+    lookups expand performs for every (property, value) pair, memoized
+    on the frozen ActiveContext."""
+    try:
+        cache = activectx.propcache
+    except AttributeError:
+        cache = None
+    else:
+        hit = cache.get(prop)
+        if hit is not None:
+            return hit
+    exp_property = expand_iri(prop, activectx, False, True)
+    definition = get_property_definition(activectx, prop)
+    entry = (exp_property, definition["@container"], definition["@reverse"])
+    if cache is not None:
+        cache[prop] = entry
+    return entry
+
+
 def get_property_definition(activectx: dict, prop, only: str | None = None):
     """Return the effective definition for a property under the active
     context (reference: Processor.php:1463-1513).
@@ -194,6 +220,9 @@ def process_context(
     cache = getattr(activectx, "defcache", None)
     if cache is not None:
         cache.clear()
+    pcache = getattr(activectx, "propcache", None)
+    if pcache is not None:
+        pcache.clear()
 
     for context in loclctx:
         if context is None:

@@ -21,6 +21,7 @@ from jsonld_spark.kernel.context import (
     expand_iri,
     get_property_definition,
     process_context,
+    property_dispatch,
 )
 from jsonld_spark.kernel.exceptions import JsonLdError
 from jsonld_spark.kernel.util import (
@@ -74,7 +75,7 @@ def expand_element(element, activectx, activeprty=None, frame=False, loader=None
         if prop == "@context":
             continue
         value = element[prop]
-        exp_property = expand_iri(prop, activectx, False, True)
+        exp_property, container, is_reverse = property_dispatch(activectx, prop)
 
         if frame and exp_property in FRAMING_KEYWORDS:
             if exp_property == "@default":
@@ -96,8 +97,6 @@ def expand_element(element, activectx, activeprty=None, frame=False, loader=None
         if not isinstance(exp_property, str) or ":" not in exp_property:
             # neither a keyword nor an IRI: drop the property
             continue
-
-        container = get_property_definition(activectx, prop, "@container")
 
         if isinstance(value, dict) and container in ("@language", "@index"):
             items = []
@@ -138,7 +137,7 @@ def expand_element(element, activectx, activeprty=None, frame=False, loader=None
             value = {"@list": value}
 
         target = result
-        if get_property_definition(activectx, prop, "@reverse"):
+        if is_reverse:
             target = result.setdefault("@reverse", {})
             if not isinstance(value, list):
                 value = [value]

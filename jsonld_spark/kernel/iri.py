@@ -24,7 +24,7 @@ _RFC3986 = re.compile(
 )
 
 
-@lru_cache(maxsize=4096)
+@lru_cache(maxsize=65536)
 def iri_parse(iri: str):
     """Split an IRI into (scheme, authority, path, query, fragment).
 

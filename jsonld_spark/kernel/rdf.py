@@ -12,6 +12,7 @@ lists with fresh blank nodes (Processor.php:2235-2261).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import NamedTuple
 
 from jsonld_spark.kernel.context import DEFAULT_GRAPH
@@ -43,6 +44,7 @@ class Quad(NamedTuple):
     obj_lang: str | None  # BCP47 tag (language literals only)
 
 
+@lru_cache(maxsize=8192)
 def canonical_double(value) -> str:
     """Canonical xsd:double lexical form: ``%1.15E`` with up to 14
     trailing mantissa zeros compressed and no ``+`` in the exponent

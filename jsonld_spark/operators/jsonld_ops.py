@@ -3,10 +3,9 @@ entry points (expand / compact / flatten / fromRdf) as Spark stages.
 
 Each per-document transform is one Arrow-batched ``mapInPandas`` over
 the same (conv_id, turn_idx, jsonld) shape the KG pipeline uses, with
-the resolved context closure-shipped (S2). fromRdf assembly is an
-``applyInPandas`` per graph group — list reconstruction needs the
-whole graph's usage index, so the graph is the grouping unit; at
-100 TB a graph-partitioned layout keeps groups bounded.
+the resolved context closure-shipped (S2). fromRdf is distributed in
+two bounded stages (list-machinery subset per graph, node assembly per
+(graph, subject)) — see ``from_rdf_nodes``.
 """
 
 from __future__ import annotations
@@ -38,7 +37,7 @@ def _doc_transform(docs: DataFrame, fn, doc_col: str = "jsonld") -> DataFrame:
             ]
             yield pd.DataFrame(out, columns=["conv_id", "turn_idx", "doc"])
 
-    n_parts = 3 * docs.sparkSession.sparkContext.defaultParallelism
+    n_parts = 2 * docs.sparkSession.sparkContext.defaultParallelism
     return (
         docs.select("conv_id", "turn_idx", doc_col)
         .repartition(n_parts)

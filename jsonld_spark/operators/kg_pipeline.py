@@ -109,7 +109,7 @@ def docs_to_quads(
     # to a handful of tasks and stop scaling with cores.
     pruned = docs.select("conv_id", "turn_idx", doc_col)
     if parallelism != 0:
-        n_parts = parallelism or 3 * docs.sparkSession.sparkContext.defaultParallelism
+        n_parts = parallelism or 2 * docs.sparkSession.sparkContext.defaultParallelism
         pruned = pruned.repartition(n_parts)
     return pruned.mapInArrow(emit, QUAD_SCHEMA)
 
@@ -171,7 +171,7 @@ def docs_to_quads_safe(
 
     pruned = docs.select("conv_id", "turn_idx", doc_col)
     if parallelism != 0:
-        n_parts = parallelism or 3 * docs.sparkSession.sparkContext.defaultParallelism
+        n_parts = parallelism or 2 * docs.sparkSession.sparkContext.defaultParallelism
         pruned = pruned.repartition(n_parts)
     return pruned.mapInPandas(emit, ERROR_QUAD_SCHEMA)
 
@@ -217,6 +217,7 @@ def transcripts_to_triples(
     context: dict | None = PIPELINE_CONTEXT,
     keep_lineage: bool = False,
     dedup: str = "split",
+    texts: DataFrame | None = None,
 ) -> DataFrame:
     """Full S1->S7: transcripts -> canonical deduplicated triples.
 
@@ -235,7 +236,12 @@ def transcripts_to_triples(
       entity_triples() as a small distinct. dedup="global" keeps the
       classic full-stream dropDuplicates for arbitrary payloads.
     """
-    n_parts = 3 * transcripts.sparkSession.sparkContext.defaultParallelism
+    # 2x cores: enough slack to absorb stragglers without paying the
+    # per-task Python-worker/Arrow setup of finer splits (measured at
+    # sf0.1/32c: 2.65 s at 1-2x vs 3.2 s at 3x vs 4.1 s at 6x). At
+    # 100 TB the partition count comes from data size; this floor only
+    # governs the small-input end.
+    n_parts = 2 * transcripts.sparkSession.sparkContext.defaultParallelism
     parted = transcripts.repartition(n_parts)
     docs = with_payload(parted)
     quads = docs_to_quads(docs, context=context, parallelism=0)
@@ -244,7 +250,9 @@ def transcripts_to_triples(
         return quads
     from jsonld_spark.operators.extract import entity_triples
 
-    entities = entity_triples(parted)
+    # entity facts need only text: a window-free text frame (when the
+    # caller has one) skips the row_number shuffle on this branch
+    entities = entity_triples(texts if texts is not None else parted)
     if dedup == "split":
         return quads.select(*QUAD_COLUMNS).unionByName(entities)
     # "global": belt-and-braces full-stream dedup (for payloads without
@@ -254,7 +262,12 @@ def transcripts_to_triples(
 
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query: events-derived transcripts -> triple set."""
-    return transcripts_to_triples(transcripts_from_events(spark, sf_dir))
+    from jsonld_spark.sources.transcripts import transcript_texts
+
+    return transcripts_to_triples(
+        transcripts_from_events(spark, sf_dir),
+        texts=transcript_texts(spark, sf_dir),
+    )
 
 
 def nquads_lines(triples: DataFrame) -> DataFrame:

@@ -112,6 +112,32 @@ def _probe_expr(bucket_col, planes_col):
     )
 
 
+def _probe2_expr(bucket_col, planes_col):
+    """Query-side multiprobe at hamming <= 2: all 0-, 1- and 2-bit
+    flips of the bucket. ~planes^2/2 probes per QUERY only (queries are
+    few and broadcast), roughly doubling top-k recall vs 1-bit probing
+    on near-uniform vectors. Probe values are distinct, so a corpus
+    vector matches at most one probe per query."""
+    zero = F.lit(0).cast("long")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), planes_col),
+            lambda i: F.transform(
+                F.sequence(i, planes_col),
+                lambda j: F.when((i > 0) & (j == i), F.lit(None).cast("long"))
+                .otherwise(
+                    bucket_col.bitwiseXOR(
+                        F.when(i > 0, _pow2_long(i - 1)).otherwise(zero)
+                    ).bitwiseXOR(
+                        F.when(j > i, _pow2_long(j - 1)).otherwise(zero)
+                    )
+                ),
+            ),
+        )
+    )
+    return F.array_compact(pairs)
+
+
 def _pair_dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
@@ -208,6 +234,16 @@ _PROBE_SQL = (
     "ELSE xor(bucket, CAST(pow(2, i - 1) AS BIGINT)) END))"
 )
 
+# hamming<=2 query-side probes (mirrors _probe2_expr)
+_PROBE2_SQL = (
+    "unnest(list_filter(flatten(list_transform(range(0, planes + 1), i -> "
+    "list_transform(range(i, planes + 1), j -> "
+    "CASE WHEN i > 0 AND j = i THEN NULL ELSE "
+    "xor(xor(bucket, CASE WHEN i > 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END), "
+    "CASE WHEN j > i THEN CAST(pow(2, j - 1) AS BIGINT) ELSE 0 END) END))), "
+    "x -> x IS NOT NULL))"
+)
+
 
 def lsh_ann_topk(
     spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES
@@ -223,7 +259,7 @@ def lsh_ann_topk(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("q").alias("qq"),
-            F.explode(_probe_expr(F.col("bucket"), F.col("planes"))).alias("probe"),
+            F.explode(_probe2_expr(F.col("bucket"), F.col("planes"))).alias("probe"),
         )
     )
     scored = emb.join(
@@ -246,7 +282,7 @@ def lsh_ann_topk_sql(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
     return f"""
 WITH {_buckets_cte()},
 probes AS (
-  SELECT vec_id AS query_id, q AS qq, {_PROBE_SQL} AS probe
+  SELECT vec_id AS query_id, q AS qq, {_PROBE2_SQL} AS probe
   FROM b WHERE vec_id < {n_queries}),
 scored AS (
   SELECT p.query_id, e.vec_id AS neighbor_id,
