@@ -90,8 +90,16 @@ def flatten(doc, base=None, expand_context=None, loader=None) -> list:
 
 
 def compact(doc, context=None, base=None, expand_context=None, compact_arrays=True,
-            loader=None):
-    """Expand-then-compact (reference: JsonLD.php:224-301)."""
+            optimize=False, loader=None):
+    """Expand-then-compact (reference: JsonLD.php:224-301).
+
+    ``optimize`` is accepted for option-surface parity (JsonLD.php:617,
+    merge :640-642): the reference stores it (Processor.php:163) and
+    forwards it to frame sub-processors (:2506) but no code path ever
+    branches on it — the spec text merely PERMITS freer compaction.
+    Mirroring that, it has no behavioral effect here either.
+    """
+    del optimize  # documented no-op, exactly like the reference
     from jsonld_spark.kernel.compaction import compact_document  # lazy: P2 module
 
     expanded = expand(doc, base=base, expand_context=expand_context, loader=loader)

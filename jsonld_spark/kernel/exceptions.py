@@ -45,6 +45,7 @@ class JsonLdError(Exception):
     LIST_OF_LISTS = "list of lists"
     LOADING_DOCUMENT_FAILED = "loading document failed"
     LOADING_REMOTE_CONTEXT_FAILED = "loading remote context failed"
+    MULTIPLE_CONTEXT_LINK_HEADERS = "multiple context link headers"
     RECURSIVE_CONTEXT_INCLUSION = "recursive context inclusion"
     UNSPECIFIED = "processing error"
 
