@@ -335,6 +335,103 @@ FLATTEN = [
 ]
 
 # --------------------------------------------------------------------------
+# compact tests: (name, input-expanded, context, expected, options) —
+# expected includes the re-attached @context (JsonLD.php:277-300).
+# --------------------------------------------------------------------------
+
+COMPACT = [
+    (
+        "term compaction folds single values to scalars",
+        [{"@id": EX + "a", EX + "name": [{"@value": "x"}]}],
+        {"name": EX + "name"},
+        {"@context": {"name": EX + "name"},
+         "@id": EX + "a", "name": "x"},
+        {},
+    ),
+    (
+        "CURIE compaction applies to keys, @id and @type",
+        [{"@id": EX + "a", "@type": [EX + "T"], EX + "p": [{"@value": "v"}]}],
+        {"ex": EX},
+        {"@context": {"ex": EX},
+         "@id": "ex:a", "@type": "ex:T", "ex:p": "v"},
+        {},
+    ),
+    (
+        "@type coercion collapses typed values",
+        [{"@id": EX + "a",
+          EX + "date": [{"@value": "2011-01-25T00:00:00Z",
+                         "@type": XSD + "dateTime"}]}],
+        {"date": {"@id": EX + "date", "@type": XSD + "dateTime"}},
+        {"@context": {"date": {"@id": EX + "date", "@type": XSD + "dateTime"}},
+         "@id": EX + "a", "date": "2011-01-25T00:00:00Z"},
+        {},
+    ),
+    (
+        "@language container regroups into a language map",
+        [{"@id": EX + "a",
+          EX + "label": [{"@value": "Die Königin", "@language": "de"},
+                         {"@value": "The Queen", "@language": "en"}]}],
+        {"label": {"@id": EX + "label", "@container": "@language"}},
+        {"@context": {"label": {"@id": EX + "label", "@container": "@language"}},
+         "@id": EX + "a",
+         "label": {"de": "Die Königin", "en": "The Queen"}},
+        {},
+    ),
+    (
+        "@list container collapses the list object",
+        [{"@id": EX + "a",
+          EX + "list": [{"@list": [{"@value": "a"}, {"@value": "b"}]}]}],
+        {"list": {"@id": EX + "list", "@container": "@list"}},
+        {"@context": {"list": {"@id": EX + "list", "@container": "@list"}},
+         "@id": EX + "a", "list": ["a", "b"]},
+        {},
+    ),
+    (
+        "@reverse terms with @type @id compact to strings",
+        [{"@id": EX + "p",
+          "@reverse": {EX + "parent": [{"@id": EX + "c1"}]}}],
+        {"children": {"@reverse": EX + "parent", "@type": "@id"}},
+        {"@context": {"children": {"@reverse": EX + "parent", "@type": "@id"}},
+         "@id": EX + "p", "children": EX + "c1"},
+        {},
+    ),
+    (
+        "multiple top-level nodes wrap in @graph",
+        [{"@id": EX + "a", EX + "p": [{"@value": "1"}]},
+         {"@id": EX + "b", EX + "p": [{"@value": "2"}]}],
+        {"p": EX + "p"},
+        {"@context": {"p": EX + "p"},
+         "@graph": [{"@id": EX + "a", "p": "1"},
+                    {"@id": EX + "b", "p": "2"}]},
+        {},
+    ),
+    (
+        "keyword aliases apply on output",
+        [{"@id": EX + "a", "@type": [EX + "T"]}],
+        {"id": "@id", "type": "@type", "ex": EX},
+        {"@context": {"id": "@id", "type": "@type", "ex": EX},
+         "id": "ex:a", "type": "ex:T"},
+        {},
+    ),
+    (
+        "compactArrays=false keeps arrays and the @graph wrapper",
+        [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}],
+        {"p": EX + "p"},
+        {"@context": {"p": EX + "p"},
+         "@graph": [{"@id": EX + "a", "p": ["v"]}]},
+        {"compactArrays": False},
+    ),
+    (
+        "shortest term wins for equal IRIs",
+        [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}],
+        {"longname": EX + "p", "q": EX + "p"},
+        {"@context": {"longname": EX + "p", "q": EX + "p"},
+         "@id": EX + "a", "q": "v"},
+        {},
+    ),
+]
+
+# --------------------------------------------------------------------------
 # toRdf tests: (name, input, expected-lines, options) — compared as
 # sorted line SETS (W3CTestSuiteTest.php:317-322).
 # --------------------------------------------------------------------------
@@ -602,6 +699,15 @@ def main() -> None:
                 _write(os.path.join(OUT, f"{kind}/{nid}-in.jsonld"), _json(case[1]))
                 _write(os.path.join(OUT, f"{kind}/{nid}-out.nq"),
                        "".join(line + "\n" for line in case[2]))
+            elif kind == "compact":
+                entry["context"] = f"{kind}/{nid}-context.jsonld"
+                entry["expect"] = f"{kind}/{nid}-out.jsonld"
+                if case[4]:
+                    entry["option"] = case[4]
+                _write(os.path.join(OUT, f"{kind}/{nid}-in.jsonld"), _json(case[1]))
+                _write(os.path.join(OUT, f"{kind}/{nid}-context.jsonld"),
+                       _json({"@context": case[2]}))
+                _write(os.path.join(OUT, f"{kind}/{nid}-out.jsonld"), _json(case[3]))
             elif kind == "fromRdf":
                 entry["input"] = f"{kind}/{nid}-in.nq"
                 entry["expect"] = f"{kind}/{nid}-out.jsonld"
@@ -631,13 +737,15 @@ def main() -> None:
         manifests.append(f"manifest-{kind}.jsonld")
 
     emit("expand", "ExpandTest", EXPAND)
+    emit("compact", "CompactTest", COMPACT)
     emit("flatten", "FlattenTest", FLATTEN)
     emit("toRdf", "ToRDFTest", TORDF)
     emit("fromRdf", "FromRDFTest", FROMRDF)
     emit("error", "ExpandTest", ERRORS)
     _write(os.path.join(OUT, "manifest.jsonld"),
            _json({"@id": "manifest", "name": "root", "sequence": manifests}))
-    total = len(EXPAND) + len(FLATTEN) + len(TORDF) + len(FROMRDF) + len(ERRORS)
+    total = (len(EXPAND) + len(COMPACT) + len(FLATTEN) + len(TORDF)
+             + len(FROMRDF) + len(ERRORS))
     print(f"wrote {total} tests under {os.path.abspath(OUT)}")
 
 

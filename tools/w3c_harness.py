@@ -22,7 +22,7 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 FIXTURE_DIR = os.path.join(REPO_ROOT, "tests", "w3c")
-KINDS = ("expand", "flatten", "toRdf", "fromRdf", "error")
+KINDS = ("expand", "compact", "flatten", "toRdf", "fromRdf", "error")
 
 
 def iter_manifest(kind: str):
@@ -85,6 +85,10 @@ def run_case(kind: str, entry: dict) -> dict:
         actual = api.from_rdf(quads,
                               use_native_types=opts.get("useNativeTypes", False),
                               use_rdf_type=opts.get("useRdfType", False))
+    elif kind == "compact":
+        actual = api.compact(
+            doc, context=_read(entry["context"]), base=base,
+            compact_arrays=opts.get("compactArrays", True))
     elif kind == "expand":
         actual = api.expand(doc, base=base)
     elif kind == "flatten":
