@@ -115,6 +115,18 @@ def from_rdf(quads, use_native_types=False, use_rdf_type=False) -> list:
                            use_rdf_type=use_rdf_type)
 
 
+def normalize(doc, base=None, expand_context=None, loader=None) -> str:
+    """Document -> canonical N-Quads via URDNA2015/RDFC-1.0 dataset
+    canonicalization (kernel/canon.py) — isomorphic inputs yield
+    byte-identical output. Beyond the reference's surface (its labels
+    are first-visit counters); implements the public W3C algorithm."""
+    from jsonld_spark.kernel.canon import canonical_nquads  # lazy
+
+    return canonical_nquads(
+        to_rdf_quads(doc, base=base, expand_context=expand_context, loader=loader)
+    )
+
+
 def frame(doc, frame_doc, base=None, loader=None):
     """Frame a document (reference: JsonLD.php:509-560)."""
     from jsonld_spark.kernel.framing import frame_document  # lazy: P2 module

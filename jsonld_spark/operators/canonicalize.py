@@ -85,6 +85,72 @@ def salt_join(
     return joined.drop("_salt")
 
 
+URDNA_SCHEMA = (
+    "conv_id string, turn_idx int, graph string, subject string, predicate string, "
+    "obj_kind string, obj_value string, obj_type string, obj_lang string"
+)
+
+
+def urdna_bnode_labels(quads: DataFrame) -> DataFrame:
+    """URDNA2015 (RDFC-1.0) canonical blank-node labels, applied per
+    document and made globally unique with the stable document key:
+    ``_:h<md5(conv/turn)>c<N>`` where N is the document's canonical
+    c14n index (kernel/canon.py implements the full W3C algorithm,
+    N-degree disambiguation included).
+
+    Scale shape: one applyInPandas over (conv_id, turn_idx) groups —
+    bounded by document size, embarrassingly parallel, no cross-
+    document coordination (canonicalization is per-dataset; a document
+    is the dataset unit here, exactly like the default hash mode).
+    Property over hash mode: labels are ISOMORPHISM-invariant — two
+    structurally identical documents yield structurally identical
+    labels regardless of the kernel's local counter order.
+    """
+    from jsonld_spark.plans.session import ensure_package_shipped
+
+    ensure_package_shipped(quads.sparkSession)
+    cols = ["graph", "subject", "predicate", "obj_kind", "obj_value",
+            "obj_type", "obj_lang"]
+
+    def relabel(pdf):
+        import hashlib
+
+        import pandas as pd
+
+        from jsonld_spark.kernel.canon import urdna2015_mapping
+        from jsonld_spark.kernel.rdf import Quad
+
+        if not len(pdf):
+            return pd.DataFrame(columns=["conv_id", "turn_idx"] + cols)
+        conv_id, turn_idx = pdf["conv_id"].iloc[0], pdf["turn_idx"].iloc[0]
+        doc_key = hashlib.md5(f"{conv_id}/{turn_idx}".encode()).hexdigest()
+        qs = [
+            Quad(None if pd.isna(r.graph) else r.graph, r.subject, r.predicate,
+                 r.obj_kind, r.obj_value,
+                 None if pd.isna(r.obj_type) else r.obj_type,
+                 None if pd.isna(r.obj_lang) else r.obj_lang)
+            for r in pdf.itertuples()
+        ]
+        mapping = {
+            local: f"_:h{doc_key}c{canon[len('_:c14n'):]}"
+            for local, canon in urdna2015_mapping(qs).items()
+        }
+
+        def m(v):
+            return mapping.get(v, v)
+
+        rows = [
+            (conv_id, turn_idx,
+             None if q.graph is None else m(q.graph), m(q.subject), q.predicate,
+             q.obj_kind, m(q.obj_value) if q.obj_kind == "iri" else q.obj_value,
+             q.obj_type, q.obj_lang)
+            for q in qs
+        ]
+        return pd.DataFrame(rows, columns=["conv_id", "turn_idx"] + cols)
+
+    return quads.groupBy("conv_id", "turn_idx").applyInPandas(relabel, URDNA_SCHEMA)
+
+
 def dense_bnode_labels(quads: DataFrame, order_cols=("conv_id", "turn_idx")) -> DataFrame:
     """Reference-parity relabeling: document-local ``_:bK`` labels get
     dense global ``_:bN`` numbers in (conv_id, turn_idx, K) order —
