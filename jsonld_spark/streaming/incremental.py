@@ -65,6 +65,75 @@ def stream_transcripts_to_triples(
     return table
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "conv_id string, n_turns bigint, n_mentions bigint, "
+    "first_ts timestamp, last_ts timestamp, closed boolean"
+)
+SESSION_STATE_SCHEMA = (
+    "n_turns bigint, n_mentions bigint, first_ts timestamp, last_ts timestamp"
+)
+
+
+def stateful_conversation_sessions(
+    transcripts_stream: DataFrame, idle_timeout_ms: int = 30 * 60 * 1000
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
+    a running per-conversation session summary (turns, detected
+    mentions, first/last event time) that survives across micro-batches
+    in the state store, emits an updated row whenever a conversation
+    receives turns, and emits a final ``closed=true`` row when a
+    conversation sits idle past ``idle_timeout_ms`` (processing-time
+    timeout eviction — state size stays bounded by ACTIVE
+    conversations, not corpus history; the 10^12-turn requirement).
+
+    Mention counts use the pipeline's dictionary detector, so the
+    streaming summary agrees with the batch `conversation_stats` query
+    on the same data (tested).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        from jsonld_spark.sources import entities as E
+
+        conv_id = key[0]
+        cols = ["conv_id", "n_turns", "n_mentions", "first_ts", "last_ts", "closed"]
+        if state.hasTimedOut:
+            n_turns, n_mentions, first_ts, last_ts = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(conv_id, n_turns, n_mentions, first_ts, last_ts, True)],
+                columns=cols)
+            return
+
+        n_turns, n_mentions, first_ts, last_ts = (
+            state.get if state.exists else (0, 0, None, None))
+        pattern = E.surface_pattern()
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n_turns += len(pdf)
+            n_mentions += int(pdf["text"].str.count(pattern).sum())
+            lo = pdf["ts"].min().to_pydatetime()
+            hi = pdf["ts"].max().to_pydatetime()
+            first_ts = lo if first_ts is None or lo < first_ts else first_ts
+            last_ts = hi if last_ts is None or hi > last_ts else last_ts
+        state.update((n_turns, n_mentions, first_ts, last_ts))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            [(conv_id, n_turns, n_mentions, first_ts, last_ts, False)],
+            columns=cols)
+
+    return transcripts_stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        SESSION_OUTPUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def windowed_mention_counts(
     transcripts_stream: DataFrame,
     window: str = "1 hour",

@@ -114,6 +114,46 @@ def test_api_normalize_matches_isomorphic_docs():
     assert normalize(doc1) == normalize(doc2)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def _random_dataset(draw):
+        n_bnodes = draw(st.integers(min_value=1, max_value=5))
+        bnodes = [f"_:n{i}" for i in range(n_bnodes)]
+        n_quads = draw(st.integers(min_value=1, max_value=10))
+        preds = [EX + "p", EX + "q"]
+        quads = []
+        for _ in range(n_quads):
+            s = draw(st.sampled_from(bnodes + [EX + "s"]))
+            p = draw(st.sampled_from(preds))
+            if draw(st.booleans()):
+                quads.append(_q(s, p, draw(st.sampled_from(bnodes))))
+            else:
+                quads.append(_q(s, p, draw(st.sampled_from(["a", "b"])),
+                                kind="literal"))
+        return quads
+
+    @settings(max_examples=60, deadline=None)
+    @given(_random_dataset(), st.randoms(use_true_random=False))
+    def test_property_isomorphism_invariance(quads, rng):
+        """For ANY small dataset: relabeling + reordering never changes
+        the canonical N-Quads (the URDNA2015 contract)."""
+        golden = canonical_nquads(quads)
+        names = sorted({v for q in quads for _, v in
+                        ((("s", q.subject)), ("o", q.obj_value if q.obj_kind == "iri" else ""))
+                        if isinstance(v, str) and v.startswith("_:")})
+        perm = list(names)
+        rng.shuffle(perm)
+        mapping = {old: f"_:x{i}" for i, old in enumerate(perm)}
+        variant = _relabel_quads(quads, mapping)
+        rng.shuffle(variant)
+        assert canonical_nquads(variant) == golden
+except ImportError:  # pragma: no cover
+    pass
+
+
 @pytest.mark.usefixtures("spark")
 def test_urdna_bnode_labels_distributed(spark):
     """Per-document distributed URDNA relabeling: labels are globally
