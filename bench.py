@@ -102,6 +102,7 @@ def main() -> None:
             reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
             kg_triples(spark, "/root/testdata/sf0.001").count()  # warm-up
             base = transcripts_from_events(spark, SF_DIR)
+            n_rows = base.count() * replicas
             scaled = base.crossJoin(
                 spark.range(replicas).select(F.col("id").alias("replica"))
             ).withColumn(
@@ -112,7 +113,7 @@ def main() -> None:
             # uncontended run a dedicated cluster would see
             best, n = None, 0
             for _ in range(reps):
-                df = transcripts_to_triples(scaled)
+                df = transcripts_to_triples(scaled, n_rows=n_rows)
                 t0 = time.time()
                 n = df.count()
                 dt = time.time() - t0

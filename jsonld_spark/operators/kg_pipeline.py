@@ -212,12 +212,34 @@ def distinct_triples(quads: DataFrame) -> DataFrame:
     return quads.select(*QUAD_COLUMNS).dropDuplicates(QUAD_COLUMNS)
 
 
+TARGET_ROWS_PER_TASK = 16_000
+
+
+def kernel_partitions(spark: SparkSession, n_rows: int | None = None) -> int:
+    """Partition count for the CPU-bound payload+kernel stages: scale
+    with DATA (one task per ~TARGET_ROWS_PER_TASK turns) with a
+    2x-cores floor for small inputs. Measured at 32 cores: at 100k
+    turns the floor wins (per-task Python/Arrow setup dominates —
+    2.65 s at 64 parts vs 4.1 s at 192); at 3.2M turns the data term
+    wins decisively (47.7 s at 192 parts vs 87.8 s at 64 — balance and
+    wave-granularity beat task overhead once tasks are seconds long).
+    This is also the 100 TB story: partitions come from volume, never
+    from a cores-only constant."""
+    import math
+
+    floor = 2 * spark.sparkContext.defaultParallelism
+    if not n_rows:
+        return floor
+    return max(floor, math.ceil(n_rows / TARGET_ROWS_PER_TASK))
+
+
 def transcripts_to_triples(
     transcripts: DataFrame,
     context: dict | None = PIPELINE_CONTEXT,
     keep_lineage: bool = False,
     dedup: str = "split",
     texts: DataFrame | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Full S1->S7: transcripts -> canonical deduplicated triples.
 
@@ -236,12 +258,13 @@ def transcripts_to_triples(
       entity_triples() as a small distinct. dedup="global" keeps the
       classic full-stream dropDuplicates for arbitrary payloads.
     """
-    # 2x cores: enough slack to absorb stragglers without paying the
-    # per-task Python-worker/Arrow setup of finer splits (measured at
-    # sf0.1/32c: 2.65 s at 1-2x vs 3.2 s at 3x vs 4.1 s at 6x). At
-    # 100 TB the partition count comes from data size; this floor only
-    # governs the small-input end.
-    n_parts = 2 * transcripts.sparkSession.sparkContext.defaultParallelism
+    # Partitioning scales with data volume (see kernel_partitions).
+    # Callers that know the input cardinality cheaply (parquet footer
+    # counts) pass n_rows; otherwise one count() of the input pays for
+    # correctly-sized CPU stages (trivial next to the kernel work).
+    if n_rows is None:
+        n_rows = transcripts.count()
+    n_parts = kernel_partitions(transcripts.sparkSession, n_rows)
     parted = transcripts.repartition(n_parts)
     docs = with_payload(parted)
     quads = docs_to_quads(docs, context=context, parallelism=0)
@@ -262,11 +285,16 @@ def transcripts_to_triples(
 
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query: events-derived transcripts -> triple set."""
+    from jsonld_spark.plans.session import read_table
     from jsonld_spark.sources.transcripts import transcript_texts
 
+    # row count from parquet footers (metadata-only job) sizes the
+    # CPU-stage partitioning without traversing the data
+    n_rows = read_table(spark, sf_dir, "events").count()
     return transcripts_to_triples(
         transcripts_from_events(spark, sf_dir),
         texts=transcript_texts(spark, sf_dir),
+        n_rows=n_rows,
     )
 
 
