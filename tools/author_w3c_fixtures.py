@@ -632,6 +632,57 @@ FROMRDF = [
 ]
 
 # --------------------------------------------------------------------------
+# remote tests: (name, input, contexts{url: doc}, expected-or-error)
+# — mirrors the reference's remote group (W3CTestSuiteTest.php:172-198):
+# remote contexts resolve through the (pinned) document loader;
+# negatives assert the loader error taxonomy.
+# --------------------------------------------------------------------------
+
+CTX = "https://ctx.example.org/"
+
+REMOTE = [
+    (
+        "remote @context URL resolves through the loader",
+        {"@context": CTX + "v1.jsonld", "@id": EX + "a", "name": "x"},
+        {CTX + "v1.jsonld": {"@context": {"name": EX + "name"}}},
+        [{"@id": EX + "a", EX + "name": [{"@value": "x"}]}],
+        None,
+    ),
+    (
+        "remote contexts may import other remote contexts",
+        {"@context": CTX + "outer.jsonld", "@id": EX + "a", "p": "v"},
+        {CTX + "outer.jsonld": {"@context": [CTX + "inner.jsonld",
+                                             {"p": EX + "p"}]},
+         CTX + "inner.jsonld": {"@context": {"q": EX + "q"}}},
+        [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}],
+        None,
+    ),
+    (
+        "array of remote and inline contexts folds left-to-right",
+        {"@context": [CTX + "v1.jsonld", {"name": EX + "override"}],
+         "@id": EX + "a", "name": "x"},
+        {CTX + "v1.jsonld": {"@context": {"name": EX + "name"}}},
+        [{"@id": EX + "a", EX + "override": [{"@value": "x"}]}],
+        None,
+    ),
+    (
+        "unloadable remote context fails with the spec code",
+        {"@context": CTX + "missing.jsonld", "@id": EX + "a"},
+        {},
+        None,
+        "loading remote context failed",
+    ),
+    (
+        "cyclic remote context inclusion is detected",
+        {"@context": CTX + "a.jsonld", "@id": EX + "a"},
+        {CTX + "a.jsonld": {"@context": CTX + "b.jsonld"},
+         CTX + "b.jsonld": {"@context": CTX + "a.jsonld"}},
+        None,
+        "recursive context inclusion",
+    ),
+]
+
+# --------------------------------------------------------------------------
 # negative (error) tests: (name, input, expected error code)
 # --------------------------------------------------------------------------
 
@@ -699,6 +750,19 @@ def main() -> None:
                 _write(os.path.join(OUT, f"{kind}/{nid}-in.jsonld"), _json(case[1]))
                 _write(os.path.join(OUT, f"{kind}/{nid}-out.nq"),
                        "".join(line + "\n" for line in case[2]))
+            elif kind == "remote":
+                _write(os.path.join(OUT, f"{kind}/{nid}-in.jsonld"), _json(case[1]))
+                entry["contexts"] = {}
+                for j, (url, doc) in enumerate(sorted(case[2].items())):
+                    rel = f"{kind}/{nid}-ctx{j}.jsonld"
+                    _write(os.path.join(OUT, rel), _json(doc))
+                    entry["contexts"][url] = rel
+                if case[4] is not None:
+                    entry["@type"] = ["jld:NegativeEvaluationTest", "jld:ExpandTest"]
+                    entry["expectErrorCode"] = case[4]
+                else:
+                    entry["expect"] = f"{kind}/{nid}-out.jsonld"
+                    _write(os.path.join(OUT, f"{kind}/{nid}-out.jsonld"), _json(case[3]))
             elif kind == "compact":
                 entry["context"] = f"{kind}/{nid}-context.jsonld"
                 entry["expect"] = f"{kind}/{nid}-out.jsonld"
@@ -741,11 +805,12 @@ def main() -> None:
     emit("flatten", "FlattenTest", FLATTEN)
     emit("toRdf", "ToRDFTest", TORDF)
     emit("fromRdf", "FromRDFTest", FROMRDF)
+    emit("remote", "ExpandTest", REMOTE)
     emit("error", "ExpandTest", ERRORS)
     _write(os.path.join(OUT, "manifest.jsonld"),
            _json({"@id": "manifest", "name": "root", "sequence": manifests}))
     total = (len(EXPAND) + len(COMPACT) + len(FLATTEN) + len(TORDF)
-             + len(FROMRDF) + len(ERRORS))
+             + len(FROMRDF) + len(REMOTE) + len(ERRORS))
     print(f"wrote {total} tests under {os.path.abspath(OUT)}")
 
 

@@ -22,7 +22,7 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 FIXTURE_DIR = os.path.join(REPO_ROOT, "tests", "w3c")
-KINDS = ("expand", "compact", "flatten", "toRdf", "fromRdf", "error")
+KINDS = ("expand", "compact", "flatten", "toRdf", "fromRdf", "remote", "error")
 
 
 def iter_manifest(kind: str):
@@ -63,6 +63,25 @@ def run_case(kind: str, entry: dict) -> dict:
     doc = _read(entry["input"])
     opts = entry.get("option", {})
     base = entry["base"]
+
+    if kind == "remote":
+        from jsonld_spark.sources.loader import CachingLoader
+
+        pinned = {url: json.loads(_read(rel))
+                  for url, rel in entry.get("contexts", {}).items()}
+        loader = CachingLoader(pinned=pinned, fetchers=())
+        if "expectErrorCode" in entry:
+            try:
+                api.expand(doc, base=base, loader=loader)
+            except JsonLdError as exc:
+                return {"ok": exc.code == entry["expectErrorCode"],
+                        "actual": exc.code, "expected": entry["expectErrorCode"]}
+            return {"ok": False, "actual": "(no error)",
+                    "expected": entry["expectErrorCode"]}
+        actual = api.expand(doc, base=base, loader=loader)
+        expected = json.loads(_read(entry["expect"]))
+        return {"ok": _norm_json(actual) == _norm_json(expected),
+                "actual": actual, "expected": expected}
 
     if kind == "error":
         try:
