@@ -37,12 +37,14 @@ def _doc_transform(docs: DataFrame, fn, doc_col: str = "jsonld") -> DataFrame:
             ]
             yield pd.DataFrame(out, columns=["conv_id", "turn_idx", "doc"])
 
-    n_parts = 2 * docs.sparkSession.sparkContext.defaultParallelism
-    return (
-        docs.select("conv_id", "turn_idx", doc_col)
-        .repartition(n_parts)
-        .mapInPandas(run, DOC_SCHEMA)
-    )
+    from jsonld_spark.operators.kg_pipeline import kernel_partitions
+
+    pruned = docs.select("conv_id", "turn_idx", doc_col)
+    # CPU-bound per-document stage: partition by data volume with a
+    # cores floor, same policy (and same measurements) as the kernel
+    # stage in kg_pipeline.transcripts_to_triples
+    n_parts = kernel_partitions(docs.sparkSession, pruned.count())
+    return pruned.repartition(n_parts).mapInPandas(run, DOC_SCHEMA)
 
 
 def expand_documents(docs: DataFrame, context: dict | None = PIPELINE_CONTEXT,
