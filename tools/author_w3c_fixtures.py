@@ -545,6 +545,16 @@ TORDF = [
         {},
     ),
     (
+        # PHP: -0.0 == (int)-0.0 -> sprintf('%d') drops the sign;
+        # with an explicit xsd:double type the %1.15E path keeps it
+        "negative zero: integer path drops the sign, double keeps it",
+        {"@id": EX + "n", EX + "p": -0.0,
+         EX + "q": {"@value": -0.0, "@type": XSD + "double"}},
+        [f'<{EX}n> <{EX}p> "0"^^<{XSD}integer> .',
+         f'<{EX}n> <{EX}q> "-0.0E0"^^<{XSD}double> .'],
+        {},
+    ),
+    (
         "only newline and quote are escaped (bug-compat)",
         {"@id": EX + "n", EX + "p": 'line1\nsay "hi" \\ tab\there'},
         [f'<{EX}n> <{EX}p> "line1\\nsay \\"hi\\" \\ tab\there" .'],
