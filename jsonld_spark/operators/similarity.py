@@ -298,6 +298,7 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM ranked WHERE rank <
 
 IVF_CELLS = 8
 IVF_ITERATIONS = 2
+IVF_NPROBE = 2  # query-side cells searched (corpus stays 1 cell/vector)
 
 
 def _assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -348,19 +349,32 @@ def _train_ivf(emb: DataFrame, cells: int, iterations: int) -> DataFrame:
 def ivf_topk(
     spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES,
     cells: int = IVF_CELLS, iterations: int = IVF_ITERATIONS,
+    nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
     """IVF approximate top-k: a k-means coarse quantizer partitions the
-    corpus into cells; each query searches only its cell (nprobe=1),
-    ranked by exact quantized cosine. The scale path next to LSH:
-    candidate generation is a cell-equality join instead of cross."""
+    corpus into cells (1 cell per corpus vector); each query searches
+    its ``nprobe`` nearest cells, ranked by exact quantized cosine.
+    The scale path next to LSH: candidate generation is a
+    cell-equality join instead of cross, and only the tiny broadcast
+    query side multiplies by nprobe."""
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", _quantized().alias("q"))
     centroids = _train_ivf(emb, cells, iterations)
     assigned = _assign_cells(emb, centroids)
-    queries = assigned.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("cell").alias("qc")
+    dist2 = (
+        _norm2(F.col("q")) + _norm2(F.col("cq")) - 2 * _pair_dot(F.col("q"), F.col("cq"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cid"))
+    probes = (
+        emb.where(F.col("vec_id") < n_queries)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("dist2", dist2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"),
+                F.col("cid").alias("qc"))
     )
     scored = assigned.join(
-        F.broadcast(queries),
+        F.broadcast(probes),
         (F.col("cell") == F.col("qc")) & (F.col("vec_id") != F.col("query_id")),
     )
     cos = _pair_dot(F.col("q"), F.col("qq")) / F.sqrt(
@@ -402,7 +416,7 @@ def _ivf_update_sql(assign_cte: str, prev_cte: str, out: str) -> str:
 
 
 def ivf_topk_sql(k: int = TOP_K, n_queries: int = N_QUERIES,
-                 cells: int = IVF_CELLS) -> str:
+                 cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> str:
     return f"""
 WITH emb AS (SELECT vec_id, {_quantized_sql()} AS q FROM embeddings),
 c0 AS (SELECT CAST(vec_id AS INT) AS cid, q FROM emb WHERE vec_id < {cells}),
@@ -411,12 +425,20 @@ c0 AS (SELECT CAST(vec_id AS INT) AS cid, q FROM emb WHERE vec_id < {cells}),
 {_ivf_assign_sql("emb", "c1", "a2")},
 {_ivf_update_sql("a2", "c1", "c2")},
 {_ivf_assign_sql("emb", "c2", "af")},
+qprobe AS (
+  SELECT vec_id AS query_id, q AS qq, cid AS qc FROM (
+    SELECT e.vec_id, e.q, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.q, e.q) + list_dot_product(c.q, c.q)
+                      - 2*list_dot_product(e.q, c.q), c.cid) AS rn
+    FROM emb e, c2 c WHERE e.vec_id < {n_queries})
+  WHERE rn <= {nprobe}),
 scored AS (
-  SELECT qv.vec_id AS query_id, e.vec_id AS neighbor_id,
-         list_dot_product(e.q, qv.q) /
-           sqrt(list_dot_product(e.q, e.q) * list_dot_product(qv.q, qv.q)) AS cosine
-  FROM af e JOIN af qv ON e.cell = qv.cell AND e.vec_id <> qv.vec_id
-  WHERE qv.vec_id < {n_queries}),
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.q, p.qq) /
+           sqrt(list_dot_product(e.q, e.q) * list_dot_product(p.qq, p.qq)) AS cosine
+  FROM af e JOIN qprobe p ON e.cell = p.qc AND e.vec_id <> p.query_id),
 ranked AS (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank

@@ -35,7 +35,7 @@ def main() -> None:
     out = {"metric": "ann_recall_vs_brute", "sf_dir": SF_DIR, "n_vecs": n_vecs,
            "k": S.TOP_K, "n_queries": S.N_QUERIES,
            "brute_sec": round(brute_sec, 2), "variants": {}}
-    for name, fn in (("lsh_multiprobe", S.lsh_ann_topk), ("ivf_nprobe1", S.ivf_topk)):
+    for name, fn in (("lsh_multiprobe", S.lsh_ann_topk), (f"ivf_nprobe{S.IVF_NPROBE}", S.ivf_topk)):
         t0 = time.time()
         got = pairs(fn(spark, SF_DIR))
         sec = time.time() - t0
