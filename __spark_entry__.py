@@ -47,6 +47,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _docs(spark, sf):
         return with_payload(transcripts_from_events(spark, sf))
 
+    def _n_turns(spark, sf):
+        # parquet-footer count (metadata-only job) sizes the CPU stage
+        # without an extra pass over the derived transcript stream —
+        # same policy as kg_triples (VERDICT r2 #5)
+        from jsonld_spark.plans.session import read_table
+
+        return read_table(spark, sf, "events").count()
+
     # several queries consume the pipeline output; cache it per
     # (session, sf) so the driver's sweep runs the kernel stage once
     cache: dict = {}
@@ -62,9 +70,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The per-turn payload is built by pure column exprs, so each
         # transform's full JSON output (json.dumps sort_keys form) is
         # reproduced exactly by a DuckDB oracle (sources/oracle.py)
-        "jsonld_expand_docs": lambda spark, sf: jsonld_ops.expand_documents(_docs(spark, sf)),
-        "jsonld_compact_docs": lambda spark, sf: jsonld_ops.compact_documents(_docs(spark, sf)),
-        "jsonld_flatten_docs": lambda spark, sf: jsonld_ops.flatten_documents(_docs(spark, sf)),
+        "jsonld_expand_docs": lambda spark, sf: jsonld_ops.expand_documents(
+            _docs(spark, sf), n_rows=_n_turns(spark, sf)),
+        "jsonld_compact_docs": lambda spark, sf: jsonld_ops.compact_documents(
+            _docs(spark, sf), n_rows=_n_turns(spark, sf)),
+        "jsonld_flatten_docs": lambda spark, sf: jsonld_ops.flatten_documents(
+            _docs(spark, sf), n_rows=_n_turns(spark, sf)),
         "jsonld_fromrdf_nodes": lambda spark, sf: jsonld_ops.from_rdf_nodes(
             cached_triples(spark, sf), use_native_types=True
         ),
@@ -114,7 +125,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_brute_topk": similarity.brute_force_topk,
         "sim_lsh_ann_topk": similarity.lsh_ann_topk,
         "sim_ivf_topk": similarity.ivf_topk,
-        "sim_embedding_neardup": similarity.embedding_near_duplicates,
+        # planted-twin mode: the random corpus has no true near-dups
+        # (max cosine 0.48), so the check plants deterministic twins on
+        # both sides and asserts the operator finds them (VERDICT r2 #3)
+        "sim_embedding_neardup": lambda spark, sf: similarity.embedding_near_duplicates(
+            spark, sf, plant_every=similarity.PLANT_EVERY
+        ),
         # --- text analysis ---
         "text_token_stats": text.token_stats,
         "text_quality": text.quality_scores,
@@ -162,7 +178,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_brute_topk": similarity.brute_force_topk_sql(),
         "sim_lsh_ann_topk": similarity.lsh_ann_topk_sql(),
         "sim_ivf_topk": similarity.ivf_topk_sql(),
-        "sim_embedding_neardup": similarity.embedding_near_duplicates_sql(),
+        "sim_embedding_neardup": similarity.embedding_near_duplicates_sql(
+            plant_every=similarity.PLANT_EVERY
+        ),
         "text_token_stats": text.token_stats_sql(),
         "text_quality": text.quality_scores_sql(),
         "text_langid": text.language_id_sql(),

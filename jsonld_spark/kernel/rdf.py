@@ -44,12 +44,19 @@ class Quad(NamedTuple):
     obj_lang: str | None  # BCP47 tag (language literals only)
 
 
-@lru_cache(maxsize=8192)
 def canonical_double(value) -> str:
     """Canonical xsd:double lexical form: ``%1.15E`` with up to 14
     trailing mantissa zeros compressed and no ``+`` in the exponent
     (``5.3`` → ``5.3E0``, ``1e24`` → ``1.0E24``)."""
-    formatted = "%1.15E" % value
+    # memo key: repr() keeps the sign of zero; hashing the float itself
+    # conflates 0.0/-0.0 (equal keys) and returned the cached "0.0E0"
+    # for -0.0 depending on executor-process call order (ADVICE r2)
+    return _canonical_double_memo(repr(float(value)))
+
+
+@lru_cache(maxsize=8192)
+def _canonical_double_memo(value_repr: str) -> str:
+    formatted = "%1.15E" % float(value_repr)
     if "E" not in formatted:  # inf / nan
         return formatted
     mantissa, exponent = formatted.split("E")

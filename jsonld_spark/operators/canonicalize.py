@@ -19,7 +19,7 @@ Two strategies (SURVEY.md §7.3 hard part #1):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -149,6 +149,126 @@ def urdna_bnode_labels(quads: DataFrame) -> DataFrame:
         return pd.DataFrame(rows, columns=["conv_id", "turn_idx"] + cols)
 
     return quads.groupBy("conv_id", "turn_idx").applyInPandas(relabel, URDNA_SCHEMA)
+
+
+DATASET_URDNA_SCHEMA = (
+    "comp string, graph string, subject string, predicate string, "
+    "obj_kind string, obj_value string, obj_type string, obj_lang string, "
+    "s_n int, o_n int, g_n int, fp string"
+)
+_QUAD_COLS = ["graph", "subject", "predicate", "obj_kind", "obj_value",
+              "obj_type", "obj_lang"]
+
+
+def urdna_dataset_labels(quads: DataFrame) -> DataFrame:
+    """DATASET-level URDNA2015 (VERDICT r2 #6): isomorphism-invariant
+    canonical blank-node labels for a merged quad stream with NO
+    document key — ``Graph.merge``-style unions, where per-document
+    canonicalization (urdna_bnode_labels) no longer applies.
+
+    Shape: (1) connected components over bnode co-occurrence (two
+    bnodes sharing a quad are connected) via operators/components.py;
+    (2) the exact kernel URDNA2015 per component (applyInPandas —
+    bounded by component size, the bnode-connected unit, never by
+    corpus size); (3) labels ``_:d<fp>r<K>c<N>`` where ``fp`` is the
+    sha256 of the component's canonical N-Quads (isomorphism-
+    invariant), ``N`` the within-component canonical index, and ``K``
+    a rank disambiguating byte-identical fingerprints — isomorphic
+    components are interchangeable, so ANY rank assignment yields the
+    same output quad SET, making the result independent of merge
+    order. Ground quads (no bnodes) pass through untouched.
+    """
+    from jsonld_spark.operators.components import connected_components
+    from jsonld_spark.plans.session import ensure_package_shipped
+
+    ensure_package_shipped(quads.sparkSession)
+    q = quads.select(*_QUAD_COLS)
+    is_bn = {
+        "subject": F.col("subject").startswith("_:"),
+        "obj_value": (F.col("obj_kind") == "iri") & F.col("obj_value").startswith("_:"),
+        "graph": F.col("graph").startswith("_:"),
+    }
+    bn = {k: F.when(v, F.col(k)) for k, v in is_bn.items()}
+    # any bnode position routes the quad — all of a quad's bnodes are
+    # one component by construction (they co-occur in this quad)
+    anchor = F.coalesce(bn["subject"], bn["obj_value"], bn["graph"])
+    q = q.withColumn("_anchor", anchor)
+    ground = q.where(F.col("_anchor").isNull()).select(*_QUAD_COLS)
+    bquads = q.where(F.col("_anchor").isNotNull()).localCheckpoint()
+
+    zero = F.lit("").alias("key")
+    nodes = bquads.select(
+        zero, F.explode(F.array_compact(F.array(*bn.values()))).alias("node")
+    ).distinct()
+    pos_pairs = [("subject", "obj_value"), ("subject", "graph"), ("obj_value", "graph")]
+    edges = None
+    for a, b in pos_pairs:
+        e = bquads.where(is_bn[a] & is_bn[b]).select(
+            zero, F.col(a).alias("a"), F.col(b).alias("b"))
+        edges = e if edges is None else edges.unionByName(e)
+    comp = connected_components(nodes, edges).drop("key")
+
+    routed = bquads.join(
+        comp.select(F.col("node").alias("_anchor"), F.col("label").alias("comp")),
+        "_anchor",
+    ).drop("_anchor")
+
+    def relabel(pdf):
+        import hashlib
+
+        import pandas as pd
+
+        from jsonld_spark.kernel.canon import canonical_nquads, urdna2015_mapping
+        from jsonld_spark.kernel.rdf import Quad
+
+        comp_id = pdf["comp"].iloc[0]
+        qs = [
+            Quad(None if pd.isna(r.graph) else r.graph, r.subject, r.predicate,
+                 r.obj_kind, r.obj_value,
+                 None if pd.isna(r.obj_type) else r.obj_type,
+                 None if pd.isna(r.obj_lang) else r.obj_lang)
+            for r in pdf.itertuples()
+        ]
+        mapping = {local: int(canon[len("_:c14n"):])
+                   for local, canon in urdna2015_mapping(qs).items()}
+        fp = hashlib.sha256(canonical_nquads(qs).encode()).hexdigest()[:32]
+
+        def n_of(value, bnode_ok):
+            return mapping.get(value) if bnode_ok and isinstance(value, str) \
+                and value.startswith("_:") else None
+
+        rows = [
+            (comp_id, q_.graph, q_.subject, q_.predicate, q_.obj_kind,
+             q_.obj_value, q_.obj_type, q_.obj_lang,
+             n_of(q_.subject, True), n_of(q_.obj_value, q_.obj_kind == "iri"),
+             n_of(q_.graph, True), fp)
+            for q_ in qs
+        ]
+        return pd.DataFrame(rows, columns=[
+            "comp", "graph", "subject", "predicate", "obj_kind", "obj_value",
+            "obj_type", "obj_lang", "s_n", "o_n", "g_n", "fp"])
+
+    relabeled = routed.groupBy("comp").applyInPandas(relabel, DATASET_URDNA_SCHEMA)
+
+    comps = relabeled.select("comp", "fp").distinct()
+    w = Window.partitionBy("fp").orderBy("comp")
+    ranked = comps.withColumn("rank", F.row_number().over(w))
+
+    def lbl(term, n_col):
+        return F.when(
+            F.col(n_col).isNotNull(),
+            F.concat(F.lit("_:d"), F.col("fp"), F.lit("r"), F.col("rank"),
+                     F.lit("c"), F.col(n_col)),
+        ).otherwise(F.col(term))
+
+    final = relabeled.join(ranked, ["comp", "fp"]).select(
+        lbl("graph", "g_n").alias("graph"),
+        lbl("subject", "s_n").alias("subject"),
+        "predicate", "obj_kind",
+        lbl("obj_value", "o_n").alias("obj_value"),
+        "obj_type", "obj_lang",
+    )
+    return ground.unionByName(final)
 
 
 def dense_bnode_labels(quads: DataFrame, order_cols=("conv_id", "turn_idx")) -> DataFrame:

@@ -217,6 +217,38 @@ def minhash_signatures(docs_with_shingles: DataFrame, num_hashes: int = NUM_MINH
     )
 
 
+def minhash_band_candidates(sig: DataFrame, num_hashes: int = NUM_MINHASH,
+                            bands: int = LSH_BANDS) -> DataFrame:
+    """Banded-LSH candidate pairs from a (doc_id, sig) frame: two docs
+    collide iff some ALIGNED band (rows [b*r, b*r+r)) of their
+    signatures is identical. The miss contract this encodes: agreement
+    on r consecutive positions that STRADDLE a band boundary does not
+    collide — pinned by test_minhash_band_boundary_miss_contract."""
+    rows = num_hashes // bands
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    return (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -231,31 +263,9 @@ def minhash_lsh_pairs(
     bucket-collision pairs. Identical signatures (true duplicates) are
     guaranteed to collide.
     """
-    rows = num_hashes // bands
     docs = with_shingles(read_table(spark, sf_dir, "documents"))
     sig = minhash_signatures(docs, num_hashes)
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = minhash_band_candidates(sig, num_hashes, bands)
     # exact verification of the candidate set via shingle-array overlap
     sets = docs.select("doc_id", "shingles")
     verified = (
@@ -333,7 +343,15 @@ def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, v: a + v,
     )
-    return docs.repartition(n_parts).select("doc_id", value.alias("simhash"))
+    # zero-token docs (null/empty token arrays) never form a group in
+    # the explode/groupBy shape this replaced — and in the unchanged
+    # DuckDB oracle — so drop them here too (ADVICE r2; mirrors the
+    # minhash empty-shingles guard)
+    return (
+        docs.repartition(n_parts)
+        .where(F.size(_tokens_expr()) > 0)
+        .select("doc_id", value.alias("simhash"))
+    )
 
 
 def simhash_values_sql() -> str:

@@ -116,8 +116,11 @@ def link_mentions_join_salted(mentions: DataFrame, dictionary: DataFrame,
     broadcast path (tests + driver oracle kg_mention_links_salted)."""
     from jsonld_spark.operators.canonicalize import salt_join
 
+    # left, like the broadcast path: mentions whose surface is absent
+    # from the dictionary must survive (salting is left-join-safe —
+    # only the big side is salted, the small side is exploded to match)
     return salt_join(mentions, resolve_dictionary(dictionary), ["surface"],
-                     buckets=buckets, how="inner")
+                     buckets=buckets, how="left")
 
 
 def with_payload(transcripts: DataFrame) -> DataFrame:

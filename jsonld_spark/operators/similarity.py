@@ -212,17 +212,21 @@ def _bucket_full_sql() -> str:
     return " + ".join(parts)
 
 
-_PLANES_SQL = (
-    f"(SELECT LEAST({MAX_PLANES}, GREATEST({MIN_PLANES}, "
-    f"CAST(CEIL(LOG2(COUNT(*) / {float(TARGET_BUCKET)})) AS INT))) FROM embeddings)"
-)
+def _planes_sql(source: str = "embeddings") -> str:
+    return (
+        f"(SELECT LEAST({MAX_PLANES}, GREATEST({MIN_PLANES}, "
+        f"CAST(CEIL(LOG2(COUNT(*) / {float(TARGET_BUCKET)})) AS INT))) FROM {source})"
+    )
 
 
-def _buckets_cte() -> str:
+_PLANES_SQL = _planes_sql()
+
+
+def _buckets_cte(source: str = "embeddings") -> str:
     """CTE fragment: emb (quantized) + b (planes + scaled bucket) —
     mirrors with_buckets bit-for-bit."""
-    return f"""emb AS (SELECT vec_id, {_quantized_sql()} AS q FROM embeddings),
-np AS (SELECT {_PLANES_SQL} AS planes),
+    return f"""emb AS (SELECT vec_id, {_quantized_sql()} AS q FROM {source}),
+np AS (SELECT {_planes_sql(source)} AS planes),
 b AS (SELECT vec_id, q, planes,
              ({_bucket_full_sql()}) % CAST(pow(2, planes) AS BIGINT) AS bucket
       FROM emb, np)"""
@@ -446,16 +450,64 @@ ranked AS (
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM ranked WHERE rank <= {k}"""
 
 
+# planted-pair knob (VERDICT r2 #3): the synthetic embeddings are
+# near-uniform random (measured global max cosine 0.48 at every sf),
+# so NO threshold in the near-duplicate regime yields rows — a 0-row
+# oracle match is vacuous. Both the Spark operator and the DuckDB
+# oracle deterministically augment the corpus with one near-copy per
+# PLANT_EVERY vectors (first coordinate +0.1 in double space — the vectors are
+# unit-normalized, measured twin cosine ~0.995), making the driver check assert the operator actually
+# FINDS the planted pairs among the noise.
+PLANT_EVERY = 25
+PLANT_OFFSET = 1_000_000
+
+
+def plant_near_duplicates(emb: DataFrame, every: int = PLANT_EVERY) -> DataFrame:
+    """Deterministically augment an embeddings frame with near-copies:
+    every ``every``-th vec_id gains a twin at vec_id + PLANT_OFFSET
+    whose first coordinate is shifted by +0.1 (all arithmetic in
+    double, bit-identical to the SQL mirror ``_plant_cte``)."""
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", "label", dbl.alias("embedding"))
+    planted = base.where(F.col("vec_id") % every == 0).select(
+        (F.col("vec_id") + F.lit(PLANT_OFFSET)).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
+def _plant_cte(every: int = PLANT_EVERY) -> str:
+    return f"""embaug AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET}, label,
+         [CAST(embedding[1] AS DOUBLE) + 0.1] ||
+         list_transform(embedding[2:], x -> CAST(x AS DOUBLE))
+  FROM embeddings WHERE vec_id % {every} = 0)"""
+
+
 def embedding_near_duplicates(
-    spark: SparkSession, sf_dir: str, threshold: float = NEAR_DUP_COSINE
+    spark: SparkSession, sf_dir: str, threshold: float = NEAR_DUP_COSINE,
+    plant_every: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates collide when
     their corpus-scaled LSH buckets are within hamming 1 (each vector
     emits its bucket plus all 1-bit flips; a pair meets when either
     side's flip hits the other's key — covers hamming <= 2), then
     exact quantized-cosine verification. Candidate volume stays
-    ~(planes+1)^2 * n / 2^planes with planes ~ log2(n/16)."""
-    emb = with_buckets(read_table(spark, sf_dir, "embeddings"))
+    ~(planes+1)^2 * n / 2^planes with planes ~ log2(n/16).
+
+    ``plant_every`` (optional) runs over the planted-twin augmentation
+    of the corpus — the non-vacuous driver-check mode."""
+    src = read_table(spark, sf_dir, "embeddings")
+    if plant_every:
+        src = plant_near_duplicates(src, plant_every)
+    emb = with_buckets(src)
     keys = emb.select(
         "vec_id",
         F.explode(_probe_expr(F.col("bucket"), F.col("planes"))).alias("probe"),
@@ -483,9 +535,12 @@ def embedding_near_duplicates(
     )
 
 
-def embedding_near_duplicates_sql(threshold: float = NEAR_DUP_COSINE) -> str:
+def embedding_near_duplicates_sql(threshold: float = NEAR_DUP_COSINE,
+                                  plant_every: int | None = None) -> str:
+    lead = f"{_plant_cte(plant_every)},\n{_buckets_cte('embaug')}" if plant_every \
+        else _buckets_cte()
     return f"""
-WITH {_buckets_cte()},
+WITH {lead},
 keys AS (SELECT vec_id, {_PROBE_SQL} AS probe FROM b),
 cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b

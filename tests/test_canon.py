@@ -154,7 +154,71 @@ except ImportError:  # pragma: no cover
     pass
 
 
-@pytest.mark.usefixtures("spark")
+QUAD_DDL = ("graph string, subject string, predicate string, obj_kind string, "
+            "obj_value string, obj_type string, obj_lang string")
+
+
+def test_urdna_dataset_labels_merge_order_invariant(spark):
+    """VERDICT r2 #6 'done' criterion: merging two isomorphic docs
+    (bnode-remapped on union, Graph.merge-style) yields identical
+    dataset-level canonical labels regardless of merge order — and the
+    isomorphic components stay distinct (no label collapse)."""
+    from jsonld_spark.operators.canonicalize import urdna_dataset_labels
+
+    doc = [
+        _q("_:a", EX + "p", "_:b"),
+        _q("_:b", EX + "name", "n", kind="literal"),
+        _q(EX + "s", EX + "r", "_:a"),
+        _q(EX + "s", EX + "k", EX + "o"),  # ground quad
+    ]
+
+    def remap(quads, suffix):
+        return _relabel_quads(quads, {"_:a": f"_:m{suffix}a", "_:b": f"_:m{suffix}b"})
+
+    ab = remap(doc, "0") + remap(doc, "1")
+    ba = remap(doc, "1") + remap(doc, "0")
+
+    def run(quads):
+        sdf = spark.createDataFrame([tuple(q) for q in quads], QUAD_DDL)
+        return sorted(tuple(r) for r in urdna_dataset_labels(sdf).collect())
+
+    r1, r2 = run(ab), run(ba)
+    assert r1 == r2
+    assert len(r1) == len(ab)
+    # two isomorphic components -> same fingerprint, distinct ranks:
+    # 4 distinct bnode labels total (2 per component), none collapsed
+    bnode_labels = {t[1] for t in r1 if t[1].startswith("_:")} | {
+        t[4] for t in r1 if t[3] == "iri" and t[4].startswith("_:")
+    }
+    assert len(bnode_labels) == 4
+    fps = {lb.split("r")[0] for lb in bnode_labels}
+    assert len(fps) == 1  # isomorphic -> identical fingerprints
+
+
+def test_urdna_dataset_labels_shared_bnode_component(spark):
+    """Quads sharing a bnode across source documents form ONE
+    component with one consistent labeling."""
+    from jsonld_spark.operators.canonicalize import urdna_dataset_labels
+
+    quads = [
+        _q("_:x", EX + "p", "_:y"),      # "doc 1"
+        _q("_:y", EX + "p", "_:z"),      # "doc 2" shares _:y
+        _q("_:z", EX + "name", "v", kind="literal"),
+    ]
+    sdf = spark.createDataFrame([tuple(q) for q in quads], QUAD_DDL)
+    out = [tuple(r) for r in urdna_dataset_labels(sdf).collect()]
+    labels = {t[1] for t in out} | {t[4] for t in out if t[3] == "iri"}
+    labels = {lb for lb in labels if lb.startswith("_:")}
+    assert len(labels) == 3
+    assert len({lb.split("c")[0] for lb in labels}) == 1  # one component prefix
+    # kernel parity: same component structure canonicalizes to the
+    # kernel's within-component indexes
+    kernel = urdna2015_mapping(quads)
+    got_n = sorted(int(lb.rsplit("c", 1)[1]) for lb in labels)
+    want_n = sorted(int(v[len("_:c14n"):]) for v in kernel.values())
+    assert got_n == want_n
+
+
 def test_urdna_bnode_labels_distributed(spark):
     """Per-document distributed URDNA relabeling: labels are globally
     unique (doc-key prefixed), per-document canonical, and two

@@ -119,3 +119,64 @@ def test_simhash_near_pairs_matches_brute_force(spark, tmp_path):
     }
     assert got == expected
     assert (0, 40) in got
+
+
+def test_minhash_lsh_just_below_threshold_pair_is_filtered(spark, tmp_path):
+    """VERDICT r2 #4: pin the verify-stage semantics with a planted
+    pair at Jaccard just below the threshold — it IS an LSH candidate
+    (long shared prefix -> near-identical signatures) but must be
+    dropped by the exact verification, not survive by luck."""
+    texts = [f"u{i} v{i} w{i} x{i} y{i}" for i in range(20)]
+    base = " ".join(f"t{k}" for k in range(10))  # 8 shingles
+    texts.append(base)                      # doc 20
+    texts.append(base + " x1 x2 x3")        # doc 21: inter 8, union 11 -> J = 0.727
+    texts.append(base + " z1")              # doc 22: inter 8, union 9  -> J = 0.889
+    sf_dir = _write_documents(spark, tmp_path, texts)
+    docs = dedup.with_shingles(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_band_candidates(
+            dedup.minhash_signatures(docs)).collect()
+    }
+    assert (20, 21) in cand  # candidate stage sees it...
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    assert (20, 21) not in got  # ...exact verify rejects it
+    assert (20, 22) in got      # the above-threshold plant survives
+
+
+def test_minhash_band_boundary_miss_contract(spark):
+    """VERDICT r2 #4: banded LSH collides only on ALIGNED bands.
+    Signatures agreeing on `rows` consecutive positions straddling a
+    band boundary are a designed MISS; agreement on one aligned band
+    is a guaranteed hit. This pins the miss-probability semantics the
+    oracle docstring (minhash_lsh_pairs_sql) relies on."""
+    rows = dedup.NUM_MINHASH // dedup.LSH_BANDS
+    assert rows == 4
+    sig_a = [100 + i for i in range(dedup.NUM_MINHASH)]
+    # agrees with a on positions 2..5 (straddles bands 0 and 1)
+    sig_b = [(100 + i) if 2 <= i <= 5 else (9000 + i)
+             for i in range(dedup.NUM_MINHASH)]
+    # agrees with a exactly on band 1 (positions 4..7)
+    sig_c = [(100 + i) if 4 <= i <= 7 else (5000 + i)
+             for i in range(dedup.NUM_MINHASH)]
+    sdf = spark.createDataFrame(
+        [(0, sig_a), (1, sig_b), (2, sig_c)], "doc_id long, sig array<bigint>"
+    )
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_band_candidates(sdf).collect()}
+    assert (0, 2) in cand        # aligned band -> hit
+    assert (0, 1) not in cand    # straddling agreement -> designed miss
+
+
+def test_simhash_drops_zero_token_documents(spark, tmp_path):
+    """ADVICE r2: the zero-shuffle simhash must not emit a simhash=0
+    row for zero-token documents — the explode/groupBy shape it
+    replaced (and the unchanged DuckDB oracle) never form a group for
+    them, and a phantom 0 would join spuriously with real hamming<=3
+    neighbours."""
+    sf_dir = _write_documents(spark, tmp_path, ["alpha beta gamma", None])
+    got = {r["doc_id"] for r in dedup.simhash_values(spark, sf_dir).collect()}
+    assert got == {0}

@@ -164,6 +164,70 @@ def test_from_rdf_nodes_list_chains(spark):
     assert json.loads(actual[(None, e + "c")])[e + "q"] == [{"@list": []}]
 
 
+def test_from_rdf_nodes_iri_chain_head(spark):
+    """ADVICE r2: the kernel walk consumes an IRI-identified chain node
+    it STARTS from (the bnode check in Processor.php:2396-2466 only
+    fires after advancing), so the distributed candidate set must
+    include IRI subjects carrying rdf:first/rdf:rest."""
+    e = "http://e.com/"
+    rows = [
+        (None, e + "s", e + "p", "iri", e + "n", None, None),
+        (None, e + "n", RDF_NS + "first", "literal", "a", None, None),
+        (None, e + "n", RDF_NS + "rest", "iri", RDF_NS + "nil", None, None),
+    ]
+    sdf = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    actual = {r["subject"]: r["node"] for r in from_rdf_nodes(sdf).collect()}
+    assert actual == _kernel_expected(sdf.collect())
+    # <s>'s value became the @list; the IRI chain node <n> was consumed
+    assert json.loads(actual[e + "s"])[e + "p"] == [{"@list": [{"@value": "a"}]}]
+    assert e + "n" not in actual
+
+
+def test_from_rdf_nodes_many_chains_one_graph(spark):
+    """VERDICT r2 #2 'done' criterion: one default graph carrying many
+    list chains must NOT land on a single resolver task — the resolver
+    groups by (gkey, chain_id), and the chain components are exactly
+    one per chain. Output still matches the kernel walk."""
+    from jsonld_spark.operators.jsonld_ops import _chain_ids
+
+    e = "http://e.com/"
+    rows = []
+    n_chains = 300
+    for i in range(n_chains):  # 3-element chain per head node
+        rows += [
+            (None, f"{e}head{i}", e + "p", "iri", f"_:c{i}x0", None, None),
+            (None, f"_:c{i}x0", RDF_NS + "first", "literal", f"a{i}", None, None),
+            (None, f"_:c{i}x0", RDF_NS + "rest", "iri", f"_:c{i}x1", None, None),
+            (None, f"_:c{i}x1", RDF_NS + "first", "literal", f"b{i}", None, None),
+            (None, f"_:c{i}x1", RDF_NS + "rest", "iri", f"_:c{i}x2", None, None),
+            (None, f"_:c{i}x2", RDF_NS + "first", "literal", f"c{i}", None, None),
+            (None, f"_:c{i}x2", RDF_NS + "rest", "iri", RDF_NS + "nil", None, None),
+        ]
+    sdf = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    out = from_rdf_nodes(sdf)
+    # the resolver's pandas group keys include the chain id
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pandas_lines = [ln for ln in plan.splitlines() if "FlatMapGroupsInPandas" in ln]
+    assert pandas_lines and all("chain_id" in ln for ln in pandas_lines), pandas_lines
+    # one component per chain: no group holds more than one chain
+    q = sdf.selectExpr(
+        "subject", "predicate", "obj_kind", "obj_value", "obj_type", "obj_lang",
+        "'@default' AS gkey",
+    )
+    import pyspark.sql.functions as F
+    cand = q.where(
+        F.col("predicate").isin(RDF_NS + "first", RDF_NS + "rest")
+    ).select("gkey", "subject").distinct()
+    comp = _chain_ids(q, cand)
+    assert comp.select("label").distinct().count() == n_chains
+    # and the output is still the kernel's
+    actual = {r["subject"]: r["node"] for r in out.collect()}
+    assert actual == _kernel_expected(sdf.collect())
+    assert json.loads(actual[e + "head7"])[e + "p"] == [
+        {"@list": [{"@value": "a7"}, {"@value": "b7"}, {"@value": "c7"}]}
+    ]
+
+
 def test_from_rdf_nodes_plan_has_no_whole_graph_group(spark):
     """VERDICT.md #3 'done' criterion: the full quad stream is grouped
     by (graph, subject), never by graph alone — only the bounded

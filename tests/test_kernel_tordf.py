@@ -41,6 +41,16 @@ def test_canonical_double_forms():
     assert canonical_double(1.7976931348623157e308) == "1.797693134862316E308"
 
 
+def test_canonical_double_signed_zero_memo():
+    """ADVICE r2: the memo must not conflate 0.0 and -0.0 (equal /
+    same-hash as dict keys) — whichever sign is serialized first, the
+    other must still come out signed correctly (toRdf-0019 golden)."""
+    assert canonical_double(0.0) == "0.0E0"
+    assert canonical_double(-0.0) == "-0.0E0"
+    assert canonical_double(-0.0) == "-0.0E0"
+    assert canonical_double(0.0) == "0.0E0"
+
+
 def test_literal_canonicalization():
     doc = {
         "@id": "http://ex.org/s",

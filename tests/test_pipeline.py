@@ -229,6 +229,30 @@ def test_salted_linking_matches_broadcast_linking(spark):
     assert any("_salt" in ln for ln in join_lines), join_lines
 
 
+def test_salted_linking_keeps_unmatched_surfaces(spark):
+    """ADVICE r2: the salted path must be LEFT like the broadcast path —
+    mentions whose surface is absent from the dictionary survive with a
+    null entity_id instead of being silently dropped."""
+    from jsonld_spark.operators.extract import (
+        link_mentions_join,
+        link_mentions_join_salted,
+    )
+
+    mentions = spark.createDataFrame(
+        [("c0", 0, 0, "Known"), ("c0", 1, 0, "Unknown")],
+        "conv_id string, turn_idx int, rank int, surface string",
+    )
+    d = spark.createDataFrame(
+        [("E1", "Known", "Thing", 0.9)],
+        "entity_id string, surface string, type_term string, prior double",
+    )
+    cols = ["conv_id", "turn_idx", "rank", "surface", "entity_id"]
+    salted = {tuple(r) for r in link_mentions_join_salted(mentions, d).select(*cols).collect()}
+    broadcast = {tuple(r) for r in link_mentions_join(mentions, d).select(*cols).collect()}
+    assert salted == broadcast
+    assert ("c0", 1, 0, "Unknown", None) in salted
+
+
 def test_lineage_metrics_cover_all_quads(spark):
     t = transcripts_from_events(spark, SF)
     quads = transcripts_to_triples(t, keep_lineage=True)
