@@ -47,7 +47,7 @@ class JsonLdError(Exception):
     LOADING_REMOTE_CONTEXT_FAILED = "loading remote context failed"
     MULTIPLE_CONTEXT_LINK_HEADERS = "multiple context link headers"
     RECURSIVE_CONTEXT_INCLUSION = "recursive context inclusion"
-    UNSPECIFIED = "processing error"
+    UNSPECIFIED = "unknown"  # JsonLdException.php:24 (const UNSPECIFIED)
 
     def __init__(self, code: str, message: str | None = None, snippet=None):
         self.code = code

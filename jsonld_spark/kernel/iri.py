@@ -129,7 +129,12 @@ def iri_relativize(base: str | None, iri: str) -> str:
     frag = "" if i_frag is None else "#" + i_frag
     query = "" if i_query is None else "?" + i_query
     if b_auth != i_auth:
-        return _recompose(None, i_auth, i_path, i_query, i_frag)
+        if i_auth is None:
+            # authority-less IRI (e.g. "http:g"): any relative form would
+            # re-resolve against the base's authority — not round-trippable
+            return iri
+        candidate = _recompose(None, i_auth, i_path, i_query, i_frag)
+        return candidate if iri_resolve(base, candidate) == iri else iri
     if i_path == b_path:
         if i_query == b_query:
             return frag if frag else iri

@@ -690,6 +690,13 @@ REMOTE = [
         None,
         "recursive context inclusion",
     ),
+    (
+        "remote context document without @context is invalid",
+        {"@context": CTX + "bad.jsonld", "@id": EX + "a"},
+        {CTX + "bad.jsonld": {"name": "no-context-key"}},
+        None,
+        "invalid remote context",  # Processor.php:1766
+    ),
 ]
 
 # --------------------------------------------------------------------------
@@ -722,6 +729,494 @@ ERRORS = [
         {"@context": {"@id": EX}, "@id": EX + "n", EX + "p": "v"},
         "keyword redefinition",
     ),
+    # ---- full error taxonomy (VERDICT r2 #1). Every trigger below is
+    # derived from the reference's guard conditions:
+    # context processing Processor.php:1540-1772, keyword expansion
+    # :600-770, value-object validation :480-575, node map :2005.
+    (
+        "invalid local context (number)",
+        {"@context": 42, "@id": EX + "n"},
+        "invalid local context",  # Processor.php:1772
+    ),
+    (
+        "invalid base IRI (non-string)",
+        {"@context": {"@base": 42}, "@id": "n", EX + "p": "v"},
+        "invalid base IRI",  # Processor.php:1548
+    ),
+    (
+        "relative @base with null active base",
+        {"@context": [{"@base": None}, {"@base": "rel"}],
+         "@id": EX + "n", EX + "p": "v"},
+        "invalid base IRI",  # Processor.php:1557
+    ),
+    (
+        "invalid vocab mapping (no colon)",
+        {"@context": {"@vocab": "no-colon"}, "@id": EX + "n", EX + "p": "v"},
+        "invalid vocab mapping",  # Processor.php:1578 (requires ':')
+    ),
+    (
+        "invalid default language (non-string)",
+        {"@context": {"@language": 42}, "@id": EX + "n", EX + "p": "v"},
+        "invalid default language",  # Processor.php:1592
+    ),
+    (
+        "invalid term definition (number)",
+        {"@context": {"t": 42}, "@id": EX + "n"},
+        "invalid term definition",  # Processor.php:1615
+    ),
+    (
+        "invalid reverse property (@reverse with @id)",
+        {"@context": {"t": {"@reverse": EX + "p", "@id": EX + "q"}},
+         "@id": EX + "n", "t": {"@id": EX + "m"}},
+        "invalid reverse property",  # Processor.php:1621
+    ),
+    (
+        "invalid reverse property (@list container)",
+        {"@context": {"t": {"@reverse": EX + "p", "@container": "@list"}},
+         "@id": EX + "n"},
+        "invalid reverse property",  # Processor.php:1631 (@set/@index only)
+    ),
+    (
+        "invalid IRI mapping (@id non-string)",
+        {"@context": {"t": {"@id": 42}}, "@id": EX + "n"},
+        "invalid IRI mapping",  # Processor.php:1645
+    ),
+    (
+        "invalid IRI mapping (reverse term expands relative)",
+        {"@context": {"t": {"@reverse": "no-colon-ref"}}, "@id": EX + "n"},
+        "invalid IRI mapping",  # Processor.php:1657
+    ),
+    (
+        "invalid keyword alias (@context)",
+        {"@context": {"ctx": {"@id": "@context"}}, "@id": EX + "n"},
+        "invalid keyword alias",  # Processor.php:1662
+    ),
+    (
+        "invalid type mapping (non-string)",
+        {"@context": {"t": {"@id": EX + "p", "@type": 42}}, "@id": EX + "n"},
+        "invalid type mapping",  # Processor.php:1690
+    ),
+    (
+        "invalid type mapping (relative IRI)",
+        {"@context": {"t": {"@id": EX + "p", "@type": "no-colon"}},
+         "@id": EX + "n"},
+        "invalid type mapping",  # Processor.php:1698
+    ),
+    (
+        "invalid type mapping (blank node)",
+        {"@context": {"t": {"@id": EX + "p", "@type": "_:b0"}},
+         "@id": EX + "n"},
+        "invalid type mapping",  # Processor.php:1698 (_: prefix test)
+    ),
+    (
+        "invalid language mapping (non-string, non-null)",
+        {"@context": {"t": {"@id": EX + "p", "@language": 42}},
+         "@id": EX + "n", "t": "v"},
+        "invalid language mapping",  # Processor.php:1708
+    ),
+    (
+        "invalid container mapping",
+        {"@context": {"t": {"@id": EX + "p", "@container": "@graph"}},
+         "@id": EX + "n"},
+        "invalid container mapping",  # Processor.php:1723 (1.0 set)
+    ),
+    (
+        "too many recursions in term definition",
+        {"@context": {f"t{i}": f"t{i + 1}:x" for i in range(12)},
+         "@id": EX + "n", "t0:p": "v"},
+        "unknown",  # Processor.php:853 (CONTEXT_MAX_IRI_RECURSIONS = 10)
+    ),
+    (
+        "invalid @id value (number)",
+        {"@id": 42, EX + "p": "v"},
+        "invalid @id value",  # Processor.php:608
+    ),
+    (
+        "invalid @index value (number)",
+        {"@id": EX + "n", "@index": 42, EX + "p": "v"},
+        "invalid @index value",  # Processor.php:685
+    ),
+    (
+        "invalid type value (object)",
+        {"@id": EX + "n", "@type": {EX + "p": "v"}},
+        "invalid type value",  # Processor.php:640
+    ),
+    (
+        "invalid value object (extra property)",
+        {"@id": EX + "n", EX + "p": {"@value": "x", "@id": EX + "y"}},
+        "invalid value object",  # Processor.php:554
+    ),
+    (
+        "invalid value object value (object @value)",
+        {"@id": EX + "n", EX + "p": {"@value": {"o": 1}}},
+        "invalid value object value",  # Processor.php:661
+    ),
+    (
+        "invalid language-tagged string (non-string @language)",
+        {"@id": EX + "n", EX + "p": {"@value": "x", "@language": 42}},
+        "invalid language-tagged string",  # Processor.php:522
+    ),
+    (
+        "invalid language-tagged value (non-string @value)",
+        {"@id": EX + "n", EX + "p": {"@value": 42, "@language": "en"}},
+        "invalid language-tagged value",  # Processor.php:530
+    ),
+    (
+        "invalid typed value (blank node @type)",
+        {"@id": EX + "n", EX + "p": {"@value": "x", "@type": "_:b0"}},
+        "invalid typed value",  # Processor.php:543
+    ),
+    (
+        "invalid set or list object (extra property)",
+        {"@id": EX + "n", EX + "p": {"@list": ["a"], EX + "q": "v"}},
+        "invalid set or list object",  # Processor.php:572
+    ),
+    (
+        "invalid @reverse value (string)",
+        {"@id": EX + "n", "@reverse": "not-an-object"},
+        "invalid @reverse value",  # Processor.php:732
+    ),
+    (
+        "invalid reverse property map (keyword key)",
+        {"@id": EX + "n", "@reverse": {"@id": EX + "m"}},
+        "invalid reverse property map",  # Processor.php:387
+    ),
+    (
+        "invalid language map value (number)",
+        {"@context": {"t": {"@id": EX + "p", "@container": "@language"}},
+         "@id": EX + "n", "t": {"en": 42}},
+        "invalid language map value",  # Processor.php:418
+    ),
+    (
+        "list of lists via @list container term",
+        {"@context": {"t": {"@id": EX + "p", "@container": "@list"}},
+         "@id": EX + "n", "t": [["a"]]},
+        "list of lists",  # Processor.php:1046-1054 (array inside @list)
+    ),
+    (
+        "conflicting indexes",
+        [{"@id": EX + "n", "@index": "a", EX + "p": "v"},
+         {"@id": EX + "n", "@index": "b", EX + "q": "w"}],
+        "conflicting indexes",  # Processor.php:2005 (node map)
+        {"api": "flatten"},
+    ),
+    (
+        "compaction to list of lists",
+        {"@id": EX + "n", EX + "p": [{"@list": ["a"]}, {"@list": ["b"]}]},
+        "compaction to list of lists",  # Processor.php:1072
+        {"api": "compact",
+         "context": {"t": {"@id": EX + "p", "@container": "@list"}}},
+    ),
+]
+
+
+# --------------------------------------------------------------------------
+# RFC 3986 §5.4 reference-resolution suite (VERDICT r2 #1: abnormal base
+# resolution). Goldens are the RFC's own published resolution examples;
+# the reference resolves through the ml/iri library's RFC 3986 resolver
+# at the Processor.php:903-905 expandIri call sites. Refs containing a
+# colon ("g:h", "http:g") never reach the resolver: JSON-LD expansion
+# treats any colon-bearing value without a matching term as an absolute
+# IRI and passes it through (Processor.php:895-906) — the strict-parser
+# RFC answer either way.
+# --------------------------------------------------------------------------
+
+RFC_BASE = "http://a/b/c/d;p?q"
+RFC_NORMAL = [
+    ("g:h", "g:h"),
+    ("g", "http://a/b/c/g"),
+    ("./g", "http://a/b/c/g"),
+    ("g/", "http://a/b/c/g/"),
+    ("/g", "http://a/g"),
+    ("//g", "http://g"),
+    ("?y", "http://a/b/c/d;p?y"),
+    ("g?y", "http://a/b/c/g?y"),
+    ("#s", "http://a/b/c/d;p?q#s"),
+    ("g#s", "http://a/b/c/g#s"),
+    ("g?y#s", "http://a/b/c/g?y#s"),
+    (";x", "http://a/b/c/;x"),
+    ("g;x", "http://a/b/c/g;x"),
+    ("g;x?y#s", "http://a/b/c/g;x?y#s"),
+    ("", "http://a/b/c/d;p?q"),
+    (".", "http://a/b/c/"),
+    ("./", "http://a/b/c/"),
+    ("..", "http://a/b/"),
+    ("../", "http://a/b/"),
+    ("../g", "http://a/b/g"),
+    ("../..", "http://a/"),
+    ("../../", "http://a/"),
+    ("../../g", "http://a/g"),
+]
+RFC_ABNORMAL = [
+    ("../../../g", "http://a/g"),
+    ("../../../../g", "http://a/g"),
+    ("/./g", "http://a/g"),
+    ("/../g", "http://a/g"),
+    ("g.", "http://a/b/c/g."),
+    (".g", "http://a/b/c/.g"),
+    ("g..", "http://a/b/c/g.."),
+    ("..g", "http://a/b/c/..g"),
+    ("./../g", "http://a/b/g"),
+    ("./g/.", "http://a/b/c/g/"),
+    ("g/./h", "http://a/b/c/g/h"),
+    ("g/../h", "http://a/b/c/h"),
+    ("g;x=1/./y", "http://a/b/c/g;x=1/y"),
+    ("g;x=1/../y", "http://a/b/c/y"),
+    ("g#s/./x", "http://a/b/c/g#s/./x"),
+    ("g#s/../x", "http://a/b/c/g#s/../x"),
+    ("http:g", "http:g"),
+]
+
+
+def _rfc_case(name, pairs):
+    return (
+        name,
+        {"@context": {"@base": RFC_BASE, "p": {"@id": EX + "p", "@type": "@id"}},
+         "@id": EX + "n", "p": [ref for ref, _ in pairs]},
+        [{"@id": EX + "n", EX + "p": [{"@id": out} for _, out in pairs]}],
+    )
+
+
+EXPAND += [
+    _rfc_case("RFC 3986 5.4.1 normal reference resolution", RFC_NORMAL),
+    _rfc_case("RFC 3986 5.4.2 abnormal reference resolution", RFC_ABNORMAL),
+    # ---- container + coercion combinations ----
+    (
+        "@list of @id-coerced CURIEs under @vocab",
+        {"@context": {"@vocab": EX + "v#",
+                      "foaf": "http://xmlns.com/foaf/0.1/",
+                      "t": {"@id": "t", "@container": "@list", "@type": "@id"}},
+         "@id": EX + "n", "t": ["foaf:a", "rel", "http://abs.example/x"]},
+        [{"@id": EX + "n",
+          EX + "v#t": [{"@list": [{"@id": "http://xmlns.com/foaf/0.1/a"},
+                                  {"@id": BASE + "rel"},
+                                  {"@id": "http://abs.example/x"}]}]}],
+    ),
+    (
+        "term @language with @set container keeps tagged array",
+        {"@context": {"t": {"@id": EX + "p", "@language": "EN",
+                            "@container": "@set"}},
+         "@id": EX + "n", "t": ["a", 5]},
+        [{"@id": EX + "n", EX + "p": [{"@value": "a", "@language": "EN"},
+                                      {"@value": 5}]}],
+    ),
+    (
+        "@index container mixing node objects and @id-coerced strings",
+        {"@context": {"t": {"@id": EX + "p", "@container": "@index",
+                            "@type": "@id"}},
+         "@id": EX + "n",
+         "t": {"k2": "rel", "k1": {"@id": EX + "m", EX + "q": "v"},
+               "k0": {"@id": EX + "o", "@index": "explicit"}}},
+        # ksort over index keys; existing @index wins (Processor.php:441-446)
+        [{"@id": EX + "n",
+          EX + "p": [{"@id": EX + "o", "@index": "explicit"},
+                     {"@id": EX + "m", "@index": "k1",
+                      EX + "q": [{"@value": "v"}]},
+                     {"@id": BASE + "rel", "@index": "k2"}]}],
+    ),
+    (
+        "@type @vocab coercion expands values as terms",
+        {"@context": {"@vocab": EX + "v#", "other": EX + "o",
+                      "t": {"@id": "t", "@type": "@vocab"}},
+         "@id": EX + "n", "t": "other"},
+        [{"@id": EX + "n", EX + "v#t": [{"@id": EX + "o"}]}],
+    ),
+    (
+        "reverse term inside @reverse map becomes a forward property",
+        {"@context": {"children": {"@reverse": EX + "parent"}},
+         "@id": EX + "n",
+         "@reverse": {"children": {"@id": EX + "m", EX + "q": "v"}}},
+        # reverse-of-reverse folds forward (Processor.php:741-747)
+        [{"@id": EX + "n",
+          EX + "parent": [{"@id": EX + "m", EX + "q": [{"@value": "v"}]}]}],
+    ),
+    # ---- deep named graphs ----
+    (
+        "named graphs nest recursively in expansion",
+        {"@id": EX + "g1",
+         "@graph": [{"@id": EX + "g2",
+                     "@graph": [{"@id": EX + "a", EX + "p": "v"}],
+                     EX + "q": "w"}]},
+        [{"@id": EX + "g1",
+          "@graph": [{"@id": EX + "g2",
+                      "@graph": [{"@id": EX + "a",
+                                  EX + "p": [{"@value": "v"}]}],
+                      EX + "q": [{"@value": "w"}]}]}],
+    ),
+    (
+        "@graph without @id keeps the implicit default-graph wrapper node",
+        {"@graph": [{"@id": EX + "a", EX + "p": "v"}], EX + "q": "w"},
+        [{"@graph": [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}],
+          EX + "q": [{"@value": "w"}]}],
+    ),
+]
+
+FLATTEN += [
+    (
+        "nested named graphs hoist to top-level graph-name nodes",
+        {"@id": EX + "g1",
+         "@graph": [{"@id": EX + "g2",
+                     "@graph": [{"@id": EX + "a", EX + "p": "v"}],
+                     EX + "q": "w"}]},
+        # each graph name becomes a default-graph node carrying @graph
+        # (Processor.php:2088-2119); g2 is both a node IN graph g1 and
+        # a graph name at the top level
+        [{"@id": EX + "g1",
+          "@graph": [{"@id": EX + "g2", EX + "q": [{"@value": "w"}]}]},
+         {"@id": EX + "g2",
+          "@graph": [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}]}],
+    ),
+    (
+        "equal duplicate @index values do not conflict",
+        [{"@id": EX + "n", "@index": "k", EX + "p": "v"},
+         {"@id": EX + "n", "@index": "k", EX + "q": "w"}],
+        [{"@id": EX + "n", "@index": "k", EX + "p": [{"@value": "v"}],
+          EX + "q": [{"@value": "w"}]}],
+    ),
+    (
+        "@reverse inside a named graph redistributes within that graph",
+        {"@id": EX + "g",
+         "@graph": [{"@id": EX + "a",
+                     "@reverse": {EX + "p": {"@id": EX + "b"}}}]},
+        [{"@id": EX + "g",
+          "@graph": [{"@id": EX + "b", EX + "p": [{"@id": EX + "a"}]}]}],
+    ),
+]
+
+TORDF += [
+    (
+        "nested named graphs quad in the containing graph",
+        {"@id": EX + "g1",
+         "@graph": [{"@id": EX + "g2",
+                     "@graph": [{"@id": EX + "a", EX + "p": "v"}],
+                     EX + "q": "w"}]},
+        [f'<{EX}g2> <{EX}q> "w" <{EX}g1> .',
+         f'<{EX}a> <{EX}p> "v" <{EX}g2> .'],
+        {},
+    ),
+    (
+        "blank node graph name",
+        {"@graph": [{"@id": EX + "a", EX + "p": "v"}], EX + "q": "w"},
+        [f'_:b0 <{EX}q> "w" .',
+         f'<{EX}a> <{EX}p> "v" _:b0 .'],
+        {},
+    ),
+    (
+        "relative subject without a base emits nothing",
+        {"@context": {"@base": None}, "@id": "rel", EX + "p": "v"},
+        [],
+        {},
+    ),
+    (
+        "@list inside a named graph chains within that graph",
+        {"@context": {"t": {"@id": EX + "p", "@container": "@list"}},
+         "@id": EX + "g",
+         "@graph": [{"@id": EX + "a", "t": ["x", "y"]}]},
+        [f'<{EX}a> <{EX}p> _:b0 <{EX}g> .',
+         f'_:b0 <{RDF_FIRST}> "x" <{EX}g> .',
+         f'_:b0 <{RDF_REST}> _:b1 <{EX}g> .',
+         f'_:b1 <{RDF_FIRST}> "y" <{EX}g> .',
+         f'_:b1 <{RDF_REST}> <{RDF_NIL}> <{EX}g> .'],
+        {},
+    ),
+]
+
+FROMRDF += [
+    (
+        "IRI-identified list chain node is consumed by the walk",
+        # the walk starts at ANY rdf:rest->nil usage and only checks
+        # bnode-ness after advancing (Processor.php:2396-2466) — the
+        # same edge the distributed candidate set must honor
+        [f'<{EX}s> <{EX}p> <{EX}n> .',
+         f'<{EX}n> <{RDF_FIRST}> "a" .',
+         f'<{EX}n> <{RDF_REST}> <{RDF_NIL}> .'],
+        [{"@id": EX + "s", EX + "p": [{"@list": [{"@value": "a"}]}]}],
+        {},
+    ),
+    (
+        "malformed chain node (extra property) survives as a node",
+        # the walk consumes nothing (extra property fails the guard),
+        # but the nil-usage head STILL becomes an empty @list
+        # (Processor.php:2441-2444 runs unconditionally after the walk)
+        [f'<{EX}s> <{EX}p> _:l .',
+         f'_:l <{RDF_FIRST}> "a" .',
+         f'_:l <{RDF_REST}> <{RDF_NIL}> .',
+         f'_:l <{EX}x> "extra" .'],
+        [{"@id": "_:l",
+          RDF_FIRST: [{"@value": "a"}],
+          RDF_REST: [{"@list": []}],
+          EX + "x": [{"@value": "extra"}]},
+         {"@id": EX + "s", EX + "p": [{"@id": "_:l"}]}],
+        {},
+    ),
+    (
+        "blank node graph name nests under @graph",
+        [f'<{EX}a> <{EX}p> "v" _:g .'],
+        [{"@id": "_:g",
+          "@graph": [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}]}],
+        {},
+    ),
+]
+
+COMPACT += [
+    (
+        "@index container regroups into an index map",
+        [{"@id": EX + "n",
+          EX + "p": [{"@value": "a", "@index": "k1"},
+                     {"@value": "b", "@index": "k2"}]}],
+        {"t": {"@id": EX + "p", "@container": "@index"}},
+        {"@context": {"t": {"@id": EX + "p", "@container": "@index"}},
+         "@id": EX + "n", "t": {"k1": "a", "k2": "b"}},
+        None,
+    ),
+    (
+        "@set container keeps single values as arrays",
+        [{"@id": EX + "n", EX + "p": [{"@value": "a"}]}],
+        {"t": {"@id": EX + "p", "@container": "@set"}},
+        {"@context": {"t": {"@id": EX + "p", "@container": "@set"}},
+         "@id": EX + "n", "t": ["a"]},
+        None,
+    ),
+    (
+        "@list of @id-coerced values compacts back to CURIEs",
+        [{"@id": EX + "n",
+          EX + "p": [{"@list": [{"@id": "http://xmlns.com/foaf/0.1/a"},
+                                {"@id": "http://abs.example/x"}]}]}],
+        {"foaf": "http://xmlns.com/foaf/0.1/",
+         "t": {"@id": EX + "p", "@container": "@list", "@type": "@id"}},
+        {"@context": {"foaf": "http://xmlns.com/foaf/0.1/",
+                       "t": {"@id": EX + "p", "@container": "@list", "@type": "@id"}},
+         "@id": EX + "n", "t": ["foaf:a", "http://abs.example/x"]},
+        None,
+    ),
+    (
+        "@reverse term with @type @id compacts the reverse map away",
+        [{"@id": EX + "n",
+          "@reverse": {EX + "parent": [{"@id": EX + "m"}]}}],
+        {"children": {"@reverse": EX + "parent", "@type": "@id"}},
+        {"@context": {"children": {"@reverse": EX + "parent", "@type": "@id"}},
+         "@id": EX + "n", "children": EX + "m"},
+        None,
+    ),
+    (
+        "named graph compaction keeps the @graph nesting",
+        [{"@id": EX + "g",
+          "@graph": [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}]}],
+        {"t": EX + "p"},
+        {"@context": {"t": EX + "p"},
+         "@id": EX + "g", "@graph": [{"@id": EX + "a", "t": "v"}]},
+        None,
+    ),
+    (
+        "@index survives compaction on node objects",
+        [{"@id": EX + "n",
+          EX + "p": [{"@id": EX + "m", "@index": "k",
+                      EX + "q": [{"@value": "v"}]}]}],
+        {"t": EX + "p", "q": EX + "q"},
+        {"@context": {"t": EX + "p", "q": EX + "q"},
+         "@id": EX + "n", "t": {"@id": EX + "m", "@index": "k", "q": "v"}},
+        None,
+    ),
 ]
 
 
@@ -750,8 +1245,17 @@ def main() -> None:
                 "input": f"{kind}/{nid}-in.{in_ext}",
             }
             if kind == "error":
-                entry["@type"] = ["jld:NegativeEvaluationTest", "jld:ExpandTest"]
+                extra = case[3] if len(case) > 3 else {}
+                api = extra.get("api", "expand")
+                entry["@type"] = ["jld:NegativeEvaluationTest",
+                                  f"jld:{api.capitalize()}Test"]
                 entry["expectErrorCode"] = case[2]
+                if api != "expand":
+                    entry["api"] = api
+                if "context" in extra:
+                    entry["context"] = f"{kind}/{nid}-context.jsonld"
+                    _write(os.path.join(OUT, f"{kind}/{nid}-context.jsonld"),
+                           _json({"@context": extra["context"]}))
                 _write(os.path.join(OUT, f"{kind}/{nid}-in.jsonld"), _json(case[1]))
             elif kind == "toRdf":
                 entry["expect"] = f"{kind}/{nid}-out.nq"

@@ -84,8 +84,18 @@ def run_case(kind: str, entry: dict) -> dict:
                 "actual": actual, "expected": expected}
 
     if kind == "error":
+        # errors may surface in expand, flatten (node-map generation),
+        # or compact — mirroring the official suite, where negative
+        # tests exist per API (reference replays them through the same
+        # entry points, W3CTestSuiteTest.php:224-244)
+        api_kind = entry.get("api", "expand")
         try:
-            api.expand(doc, base=base)
+            if api_kind == "flatten":
+                api.flatten(doc, base=base)
+            elif api_kind == "compact":
+                api.compact(doc, context=_read(entry["context"]), base=base)
+            else:
+                api.expand(doc, base=base)
         except JsonLdError as exc:
             return {"ok": exc.code == entry["expectErrorCode"],
                     "actual": exc.code, "expected": entry["expectErrorCode"]}
