@@ -343,13 +343,16 @@ def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, v: a + v,
     )
-    # zero-token docs (null/empty token arrays) never form a group in
-    # the explode/groupBy shape this replaced — and in the unchanged
-    # DuckDB oracle — so drop them here too (ADVICE r2; mirrors the
-    # minhash empty-shingles guard)
+    # zero-token docs (null text -> null token array) never form a
+    # group in the explode/groupBy shape this replaced — and in the
+    # unchanged DuckDB oracle — so drop them here too (ADVICE r2;
+    # mirrors the minhash empty-shingles guard). The guard is on the
+    # raw column so it pushes to the parquet scan; filtering on the
+    # computed simhash instead gets pushed BELOW the projection and
+    # re-evaluates the whole 60-bit aggregate twice (measured 2x).
     return (
-        docs.repartition(n_parts)
-        .where(F.size(_tokens_expr()) > 0)
+        docs.where(F.col("text").isNotNull())
+        .repartition(n_parts)
         .select("doc_id", value.alias("simhash"))
     )
 

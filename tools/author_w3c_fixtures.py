@@ -1049,6 +1049,48 @@ EXPAND += [
         [{"@graph": [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}],
           EX + "q": [{"@value": "w"}]}],
     ),
+    (
+        "empty CURIE suffix expands to the bare prefix IRI",
+        {"@context": {"foaf": "http://xmlns.com/foaf/0.1/"},
+         "@id": EX + "n", "foaf:": "v"},
+        # explode(':', 2) yields suffix "" -> prefix IRI . ""
+        # (Processor.php:880-897)
+        [{"@id": EX + "n",
+          "http://xmlns.com/foaf/0.1/": [{"@value": "v"}]}],
+    ),
+    (
+        "term colliding with a scheme never remaps absolute IRIs",
+        {"@context": {"http": EX + "trap#",
+                      "p": {"@id": EX + "p", "@type": "@id"}},
+         "@id": EX + "n", "p": "http://keep.example/x",
+         "http:other": "remapped"},
+        # a '//' suffix is protected (Processor.php:883-887); a plain
+        # CURIE suffix on the same prefix still remaps
+        [{"@id": EX + "n",
+          EX + "p": [{"@id": "http://keep.example/x"}],
+          EX + "trap#other": [{"@value": "remapped"}]}],
+    ),
+    (
+        "blank-node property keys pass through expansion",
+        {"@id": EX + "n", "_:p": "v"},
+        # the '_' prefix is reserved (Processor.php:883-887); dropping
+        # happens at toRdf, not here
+        [{"@id": EX + "n", "_:p": [{"@value": "v"}]}],
+    ),
+    (
+        "term @language null overrides the default language",
+        {"@context": {"@language": "en", "t": {"@id": EX + "p",
+                                               "@language": None},
+                      "u": EX + "q"},
+         "@id": EX + "n", "t": "plain", "u": "tagged"},
+        [{"@id": EX + "n", EX + "p": [{"@value": "plain"}],
+          EX + "q": [{"@value": "tagged", "@language": "en"}]}],
+    ),
+    (
+        "@value null removes the property and the then-empty node",
+        {"@id": EX + "n", EX + "p": {"@value": None}},
+        [],
+    ),
 ]
 
 FLATTEN += [
@@ -1154,6 +1196,48 @@ FROMRDF += [
         [f'<{EX}a> <{EX}p> "v" _:g .'],
         [{"@id": "_:g",
           "@graph": [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}]}],
+        {},
+    ),
+    (
+        "chain node with two usages is malformed and survives",
+        # the walk requires exactly ONE usage of each chain node
+        # (Processor.php:2410: count == 1); the nil head still becomes
+        # an empty @list (:2441-2444)
+        [f'<{EX}s1> <{EX}p> _:l .',
+         f'<{EX}s2> <{EX}p> _:l .',
+         f'_:l <{RDF_FIRST}> "a" .',
+         f'_:l <{RDF_REST}> <{RDF_NIL}> .'],
+        [{"@id": "_:l",
+          RDF_FIRST: [{"@value": "a"}],
+          RDF_REST: [{"@list": []}]},
+         {"@id": EX + "s1", EX + "p": [{"@id": "_:l"}]},
+         {"@id": EX + "s2", EX + "p": [{"@id": "_:l"}]}],
+        {},
+    ),
+    (
+        "useRdfType keeps rdf:type as a regular property",
+        [f'<{EX}a> <{RDF}type> <{EX}T> .'],
+        [{"@id": EX + "a", RDF + "type": [{"@id": EX + "T"}]}],
+        {"useRdfType": True},
+    ),
+    (
+        "nested list chains: 1.0 walk keeps the inner chain node",
+        # walking the outer chain consumes _:outer and rewrites
+        # <s> <p> to @list [{@id _:inner}]; the inner chain's own walk
+        # ends in the nested-list branch (prop == rdf:first,
+        # Processor.php:2427-2439), pops its only item, and leaves
+        # _:inner in place with its rdf:rest head rewritten to an
+        # empty @list — 1.0 does NOT collapse nested lists
+        [f'<{EX}s> <{EX}p> _:outer .',
+         f'_:outer <{RDF_FIRST}> _:inner .',
+         f'_:outer <{RDF_REST}> <{RDF_NIL}> .',
+         f'_:inner <{RDF_FIRST}> "a" .',
+         f'_:inner <{RDF_REST}> <{RDF_NIL}> .'],
+        [{"@id": "_:inner",
+          RDF_FIRST: [{"@value": "a"}],
+          RDF_REST: [{"@list": []}]},
+         {"@id": EX + "s",
+          EX + "p": [{"@list": [{"@id": "_:inner"}]}]}],
         {},
     ),
 ]

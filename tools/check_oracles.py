@@ -84,7 +84,8 @@ def main():
             continue
         print(f"{name:32s} rows={len(a):7d} MATCH {time.time()-t0:5.1f}s")
 
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} queries match")
+    ran = len([n for n in queries if not only or n in only])
+    print(f"\n{ran - len(failures)}/{ran} queries match")
     if failures:
         print("FAILURES:", ", ".join(failures))
         sys.exit(1)
