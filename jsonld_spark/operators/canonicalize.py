@@ -248,7 +248,12 @@ def urdna_dataset_labels(quads: DataFrame) -> DataFrame:
             "comp", "graph", "subject", "predicate", "obj_kind", "obj_value",
             "obj_type", "obj_lang", "s_n", "o_n", "g_n", "fp"])
 
-    relabeled = routed.groupBy("comp").applyInPandas(relabel, DATASET_URDNA_SCHEMA)
+    # materialized: both the rank window (via comps) and the final join
+    # consume it — without this the per-component URDNA2015 stage
+    # (worst-case exponential N-degree search) would execute twice
+    relabeled = routed.groupBy("comp").applyInPandas(
+        relabel, DATASET_URDNA_SCHEMA
+    ).localCheckpoint()
 
     comps = relabeled.select("comp", "fp").distinct()
     w = Window.partitionBy("fp").orderBy("comp")

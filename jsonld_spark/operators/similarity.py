@@ -467,6 +467,13 @@ def plant_near_duplicates(emb: DataFrame, every: int = PLANT_EVERY) -> DataFrame
     every ``every``-th vec_id gains a twin at vec_id + PLANT_OFFSET
     whose first coordinate is shifted by +0.1 (all arithmetic in
     double, bit-identical to the SQL mirror ``_plant_cte``)."""
+    # planted ids must not collide with real ones — a collision would
+    # corrupt the pair set IDENTICALLY on both engines, so the oracle
+    # match could not catch it (one tiny driver-side job, plant mode only)
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    if mx is not None and mx >= PLANT_OFFSET:
+        raise ValueError(
+            f"vec_id {mx} >= PLANT_OFFSET {PLANT_OFFSET}: planted twins would collide")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", "label", dbl.alias("embedding"))
     planted = base.where(F.col("vec_id") % every == 0).select(

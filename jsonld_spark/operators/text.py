@@ -207,8 +207,11 @@ def fingerprints(spark: SparkSession, sf_dir: str, n: int = FINGERPRINT_N,
         "doc_id",
         n_sh.alias("n_shingles"),
         F.size(fp).alias("n_fingerprints"),
-        F.element_at(fp, 1).alias("fp_min"),
-        F.element_at(fp, -1).alias("fp_max"),
+        # guarded: element_at on an empty array THROWS under Spark 4's
+        # default ANSI mode (short/null-text docs); the oracle's
+        # fp[1]/fp[-1] return NULL
+        F.when(F.size(fp) > 0, F.element_at(fp, 1)).alias("fp_min"),
+        F.when(F.size(fp) > 0, F.element_at(fp, -1)).alias("fp_max"),
         F.when(F.size(fp) > 0, F.md5(F.concat_ws(",", fp))).alias("fp_digest"),
     )
 

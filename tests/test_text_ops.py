@@ -84,6 +84,22 @@ def test_winnowing_guarantee_shared_run_shares_a_fingerprint(spark, tmp_path):
         assert row["fp_digest"] == digest
 
 
+def test_fingerprints_short_and_null_docs(spark, tmp_path):
+    """Docs with < n tokens (no shingles) or null text must yield NULL
+    fp columns, not an ANSI element_at crash — the oracle's fp[1]
+    returns NULL on empty lists."""
+    sf_dir = _write_docs(spark, tmp_path,
+                         [(0, "too few tokens", "en"), (1, None, "en"),
+                          (2, "one two three four five six", "en")])
+    got = {r["doc_id"]: r for r in T.fingerprints(spark, sf_dir).collect()}
+    for short_id in (0, 1):
+        row = got[short_id]
+        assert row["n_fingerprints"] == 0
+        assert row["fp_min"] is None and row["fp_max"] is None
+        assert row["fp_digest"] is None
+    assert got[2]["n_fingerprints"] > 0
+
+
 def test_winnowing_density(spark, tmp_path):
     """Winnowing stores ~2/(w+1) of the hashes — far fewer fingerprints
     than shingles on a long distinct-token document."""
