@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mention_links_salted": kg_queries.mention_links_salted,
         "kg_entity_mentions": kg_queries.entity_mention_counts,
         "kg_conversation_stats": kg_queries.conversation_stats,
+        # error channel: corrupt slices quarantine with spec codes
+        "kg_parse_errors": kg_queries.parse_error_report,
         "kg_adjacency": lambda spark, sf: kg_queries.adjacency(
             spark, sf, triples=cached_triples(spark, sf)
         ),
@@ -142,6 +144,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multimodal.binary_assets(spark, sf),
             decoder=multimodal.deterministic_fake_decoder,
         ),
+        "mm_resized": lambda spark, sf: multimodal.resize_assets(
+            multimodal.binary_assets(spark, sf),
+            resizer=multimodal.deterministic_fake_resizer,
+        ),
+        "mm_frame_samples": lambda spark, sf: multimodal.sample_frames(
+            multimodal.binary_assets(spark, sf)
+        ),
         # --- relational operator anchors ---
         "rel_pricing_summary": relational.pricing_summary,
         "rel_top_orders": relational.top_unshipped_orders,
@@ -165,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mention_links_salted": O.kg_mention_detection_sql(),
         "kg_entity_mentions": O.kg_entity_mentions_sql(),
         "kg_conversation_stats": O.kg_conversation_stats_sql(),
+        "kg_parse_errors": O.kg_parse_errors_sql(),
         "kg_adjacency": O.kg_adjacency_sql(),
         "kg_adjacency_lists": O.kg_adjacency_lists_sql(),
         "kg_reverse_adjacency": O.kg_reverse_adjacency_sql(),
@@ -187,6 +197,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": text.fingerprints_sql(),
         "mm_payload_features": multimodal.payload_features_sql(),
         "mm_decoded_features": multimodal.decoded_features_sql(),
+        "mm_resized": multimodal.resized_sql(),
+        "mm_frame_samples": multimodal.sampled_frames_sql(),
         "rel_pricing_summary": relational.pricing_summary_sql(),
         "rel_top_orders": relational.top_unshipped_orders_sql(),
         "rel_customers_without_orders": relational.customers_without_orders_sql(),

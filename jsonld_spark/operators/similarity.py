@@ -76,7 +76,15 @@ def _dot_int(vec_col, coeffs: list[int]):
 
 
 def _bucket_full_expr(qcol):
-    """All MAX_PLANES sign bits as one integer."""
+    """All MAX_PLANES sign bits as one integer.
+
+    Deliberately UNROLLED (24 independent dot expressions): a
+    data-driven rewrite — one 2-D hyperplane array literal with the
+    dots in nested zip_with/aggregate lambdas — was measured 4-5x
+    SLOWER end-to-end (plan build 6.5 s -> 27.8 s, warm count 5.3 s ->
+    28.9 s at sf0.1/8c): nested higher-order functions over a
+    1536-literal matrix defeat whole-stage codegen, while the unrolled
+    dots stay inside it. Kept as the measured-faster shape."""
     bucket = None
     for p in range(MAX_PLANES):
         bit = F.when(_dot_int(qcol, hyperplane(p)) > 0, F.lit(2**p)).otherwise(F.lit(0))

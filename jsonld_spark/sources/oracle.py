@@ -111,6 +111,21 @@ def triples_select() -> str:
     return f"SELECT DISTINCT * FROM (\n{union}\n)"
 
 
+def kg_parse_errors_sql() -> str:
+    """Oracle for the error-channel query: the corruption rule is
+    deterministic in turn_idx, so the quarantined set and each row's
+    spec error code (JsonLdException.php taxonomy) are predictable."""
+    return f"""
+WITH tr AS ({transcripts_sql()})
+SELECT conv_id, turn_idx,
+       CASE turn_idx % 97
+            WHEN 13 THEN 'loading document failed'
+            WHEN 29 THEN 'invalid @id value'
+            WHEN 47 THEN 'missing document' END AS error_code
+FROM tr
+WHERE turn_idx % 97 IN (13, 29, 47)"""
+
+
 def kg_triples_sql() -> str:
     return base_ctes() + "\n" + triples_select()
 

@@ -353,3 +353,35 @@ def test_multimodal_stub_and_fake_decoder(spark):
     row = feats.orderBy("doc_id").first()
     assert row["n_bytes"] > 0 and len(row["payload_sha256"]) == 64
     assert 16 <= row["width"] < 528 and 16 <= row["height"] < 528
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    import hashlib
+
+    from jsonld_spark.operators import multimodal
+
+    assets = multimodal.binary_assets(spark, SF)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_assets(assets)
+    resized = multimodal.resize_assets(
+        assets, resizer=multimodal.deterministic_fake_resizer
+    ).orderBy("doc_id").first()
+    assert resized["out_bytes"] <= multimodal.RESIZE_MAX_BYTES
+    assert len(resized["out_sha256"]) == 64
+
+    # frame sampling vs a python reference on one payload
+    first = assets.orderBy("doc_id").first()
+    payload = bytes(first["payload"])
+    fb, stride = multimodal.FRAME_BYTES, multimodal.FRAME_STRIDE
+    n_frames = (len(payload) + fb - 1) // fb
+    expected = {
+        (first["doc_id"], i, len(payload[i * fb:(i + 1) * fb]),
+         hashlib.sha256(payload[i * fb:(i + 1) * fb]).hexdigest())
+        for i in range(0, n_frames, stride)
+    }
+    got = {
+        tuple(r)
+        for r in multimodal.sample_frames(assets)
+        .where(F.col("doc_id") == first["doc_id"]).collect()
+    }
+    assert got == expected and len(got) >= 1
