@@ -148,6 +148,42 @@ def main() -> None:
         }))
         return
 
+    if "--stress" in sys.argv:
+        # Large-volume flagship throughput: the sf0.1 corpus replicated
+        # SPARK_GRAFT_STRESS_REPLICAS times (distinct conv ids), full
+        # pipeline, warm-up excluded — the reproducible form of the
+        # BENCH/BASELINE.md "large-volume stress" headline.
+        from pyspark.sql import functions as F
+
+        from jsonld_spark.operators.kg_pipeline import (
+            kg_triples,
+            transcripts_to_triples,
+        )
+        from jsonld_spark.sources.transcripts import transcripts_from_events
+
+        replicas = int(os.environ.get("SPARK_GRAFT_STRESS_REPLICAS", "32"))
+        spark = build_session(CPUS)
+        kg_triples(spark, "/root/testdata/sf0.001").count()  # warm-up
+        base = transcripts_from_events(spark, SF_DIR)
+        n_rows = base.count() * replicas
+        scaled = base.crossJoin(
+            spark.range(replicas).select(F.col("id").alias("replica"))
+        ).withColumn(
+            "conv_id", F.concat_ws("-", "conv_id", "replica")
+        ).drop("replica")
+        df = transcripts_to_triples(scaled, n_rows=n_rows)
+        t0 = time.time()
+        n = df.count()
+        dt = round(time.time() - t0, 3)
+        print(json.dumps({
+            "metric": "stress_triples_per_sec",
+            "value": round(n / dt, 1),
+            "unit": "triples/sec",
+            "sec": dt, "triples": n, "replicas": replicas,
+            "sf": sf, "cores": CPUS,
+        }))
+        return
+
     if "--skew" in sys.argv:
         # The entity dictionary join has designed-in skew (E0 = ~44% of
         # mentions). The production path broadcasts the tiny dictionary;

@@ -228,6 +228,63 @@ def test_from_rdf_nodes_many_chains_one_graph(spark):
     ]
 
 
+def test_from_rdf_nodes_randomized_vs_kernel(spark):
+    """Randomized differential test: random quad soups mixing
+    well-formed chains, malformed chains (extra props / shared tails /
+    IRI heads), nested lists, direct rdf:nil refs, named graphs and
+    plain nodes — the distributed (gkey, chain_id) path must equal the
+    kernel walk on every one. Fixed seeds; one spark round-trip per
+    corpus."""
+    import random
+
+    e = "http://e.com/"
+    for seed in range(6):
+        rng = random.Random(seed)
+        rows = []
+        bn = [f"_:n{seed}x{i}" for i in range(30)]
+        for c in range(8):  # chains of length 1-4, varied head/graph
+            cg = rng.choice([None, None, e + "g1"])  # chains in named graphs too
+            head = f"{e}h{c}" if rng.random() < 0.3 else f"_:h{seed}c{c}"
+            nodes = [f"_:c{seed}q{c}n{k}" for k in range(rng.randint(1, 4))]
+            if rng.random() < 0.3:
+                nodes[rng.randrange(len(nodes))] = f"{e}iri{c}"  # IRI chain node
+            rows.append((cg, head, e + "p", "iri", nodes[0], None, None))
+            for k, node in enumerate(nodes):
+                rows.append((cg, node, RDF_NS + "first", "literal",
+                             f"v{c}.{k}", None, None))
+                nxt = nodes[k + 1] if k + 1 < len(nodes) else RDF_NS + "nil"
+                rows.append((cg, node, RDF_NS + "rest", "iri", nxt, None, None))
+            if rng.random() < 0.3:  # malformed: extra property on a node
+                rows.append((cg, rng.choice(nodes), e + "extra", "literal",
+                             "x", None, None))
+            if rng.random() < 0.2:  # malformed: second usage of a node
+                rows.append((cg, f"{e}again{c}", e + "p2", "iri",
+                             rng.choice(nodes), None, None))
+        for _ in range(15):  # plain-node noise + direct nil refs
+            g = rng.choice([None, e + "g1", e + "g2"])
+            s = rng.choice(bn + [f"{e}s{i}" for i in range(10)])
+            if rng.random() < 0.15:
+                rows.append((g, s, e + "q", "iri", RDF_NS + "nil", None, None))
+            else:
+                rows.append((g, s, e + "q", "literal", f"w{rng.randrange(99)}",
+                             None, None))
+        rows = list(dict.fromkeys(rows))
+        sdf = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+        actual = {(r["graph"], r["subject"]): r["node"]
+                  for r in from_rdf_nodes(sdf).collect()}
+        expected = {}
+        by_graph: dict = {}
+        for r in rows:
+            by_graph.setdefault(r[0], []).append(
+                {"graph": None, "subject": r[1], "predicate": r[2],
+                 "obj_kind": r[3], "obj_value": r[4], "obj_type": r[5],
+                 "obj_lang": r[6]})
+        for gname, grows in by_graph.items():
+            for subj, node in _kernel_expected(grows).items():
+                expected[(gname, subj)] = node
+        assert actual == expected, f"seed {seed} diverged"
+
+
 def test_from_rdf_nodes_plan_has_no_whole_graph_group(spark):
     """VERDICT.md #3 'done' criterion: the full quad stream is grouped
     by (graph, subject), never by graph alone — only the bounded

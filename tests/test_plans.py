@@ -72,3 +72,17 @@ def test_kernel_stage_parallelism_is_explicit(spark):
     plan = physical_plan_of(tri)
     kernel_idx = max(plan.find("MapInArrow"), plan.find("MapInPandas"))
     assert "Exchange RoundRobinPartitioning" in plan[kernel_idx:], plan
+
+
+def test_simhash_guard_is_pushed_to_scan(spark):
+    """The zero-token guard must sit on the raw text column at the
+    parquet scan — written as a filter on the computed simhash it got
+    pushed below the projection and re-evaluated the 60-bit aggregate
+    twice (measured 2x, BENCH/BASELINE.md round 3)."""
+    from jsonld_spark.operators.dedup import simhash_values
+
+    df = simhash_values(spark, SF)
+    plan = physical_plan_of(df)
+    assert "PushedFilters: [IsNotNull(text)]" in plan, plan
+    # exactly one projection computes the aggregate (no duplicated eval)
+    assert plan.count("aggregate(") <= 2, plan.count("aggregate(")
