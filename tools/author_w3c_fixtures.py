@@ -697,6 +697,18 @@ REMOTE = [
         None,
         "invalid remote context",  # Processor.php:1766
     ),
+    (
+        "@base inside a remote context is ignored",
+        # Processor.php:1543-1545: "@base is ignored in a remote
+        # context" — relative IRIs keep resolving against the DOCUMENT
+        # base, not the remote context's @base
+        {"@context": CTX + "withbase.jsonld", "@id": EX + "n", "p": "rel"},
+        {CTX + "withbase.jsonld": {"@context": {
+            "@base": "http://other.example/ignored/",
+            "p": {"@id": EX + "p", "@type": "@id"}}}},
+        [{"@id": EX + "n", EX + "p": [{"@id": BASE + "rel"}]}],
+        None,
+    ),
 ]
 
 # --------------------------------------------------------------------------
@@ -1091,6 +1103,17 @@ EXPAND += [
         {"@id": EX + "n", EX + "p": {"@value": None}},
         [],
     ),
+    (
+        "@container does not chain through term-to-term aliases",
+        # t2's definition is the STRING "t1": its @id chains to t1's
+        # IRI (Processor.php:860-872) but @container/@type are NOT
+        # copied — only t1 itself is a list term
+        {"@context": {"t1": {"@id": EX + "p", "@container": "@list"},
+                      "t2": "t1"},
+         "@id": EX + "n", "t2": ["a", "b"]},
+        [{"@id": EX + "n",
+          EX + "p": [{"@value": "a"}, {"@value": "b"}]}],
+    ),
 ]
 
 FLATTEN += [
@@ -1147,6 +1170,21 @@ TORDF += [
         "relative subject without a base emits nothing",
         {"@context": {"@base": None}, "@id": "rel", EX + "p": "v"},
         [],
+        {},
+    ),
+    (
+        "@reverse inside a named graph reverses within that graph",
+        {"@id": EX + "g",
+         "@graph": [{"@id": EX + "a",
+                     "@reverse": {EX + "p": {"@id": EX + "b"}}}]},
+        [f'<{EX}b> <{EX}p> <{EX}a> <{EX}g> .'],
+        {},
+    ),
+    (
+        "multiple @type values emit one rdf:type quad each",
+        {"@id": EX + "n", "@type": [EX + "A", EX + "B"]},
+        [f'<{EX}n> <{RDF}type> <{EX}A> .',
+         f'<{EX}n> <{RDF}type> <{EX}B> .'],
         {},
     ),
     (
