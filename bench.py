@@ -83,6 +83,30 @@ def build_session(cores: int):
     )
 
 
+def timed_replicated_pipeline(spark, replicas: int) -> tuple[int, float]:
+    """Warm up, replicate the corpus ``replicas``x (distinct conv ids
+    per replica), run the FULL pipeline, and return (triples, seconds)
+    for the timed count. Shared by --scaling and --stress so the two
+    modes measure the exact same job."""
+    from pyspark.sql import functions as F
+
+    from jsonld_spark.operators.kg_pipeline import kg_triples, transcripts_to_triples
+    from jsonld_spark.sources.transcripts import transcripts_from_events
+
+    kg_triples(spark, "/root/testdata/sf0.001").count()  # warm-up
+    base = transcripts_from_events(spark, SF_DIR)
+    n_rows = base.count() * replicas
+    scaled = base.crossJoin(
+        spark.range(replicas).select(F.col("id").alias("replica"))
+    ).withColumn(
+        "conv_id", F.concat_ws("-", "conv_id", "replica")
+    ).drop("replica")
+    df = transcripts_to_triples(scaled, n_rows=n_rows)
+    t0 = time.time()
+    n = df.count()
+    return n, time.time() - t0
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -112,26 +136,7 @@ def main() -> None:
         for _ in range(reps):
             for cores in (n_cores, n4_cores):
                 spark = build_session(cores)
-                from pyspark.sql import functions as F
-
-                from jsonld_spark.operators.kg_pipeline import (
-                    kg_triples,
-                    transcripts_to_triples,
-                )
-                from jsonld_spark.sources.transcripts import transcripts_from_events
-
-                kg_triples(spark, "/root/testdata/sf0.001").count()  # warm-up
-                base = transcripts_from_events(spark, SF_DIR)
-                n_rows = base.count() * replicas
-                scaled = base.crossJoin(
-                    spark.range(replicas).select(F.col("id").alias("replica"))
-                ).withColumn(
-                    "conv_id", F.concat_ws("-", "conv_id", "replica")
-                ).drop("replica")
-                df = transcripts_to_triples(scaled, n_rows=n_rows)
-                t0 = time.time()
-                n = df.count()
-                dt = time.time() - t0
+                n, dt = timed_replicated_pipeline(spark, replicas)
                 entry = results[cores]
                 if entry["sec"] is None or dt < entry["sec"]:
                     entry["sec"], entry["triples"] = round(dt, 3), n
@@ -153,28 +158,10 @@ def main() -> None:
         # SPARK_GRAFT_STRESS_REPLICAS times (distinct conv ids), full
         # pipeline, warm-up excluded — the reproducible form of the
         # BENCH/BASELINE.md "large-volume stress" headline.
-        from pyspark.sql import functions as F
-
-        from jsonld_spark.operators.kg_pipeline import (
-            kg_triples,
-            transcripts_to_triples,
-        )
-        from jsonld_spark.sources.transcripts import transcripts_from_events
-
         replicas = int(os.environ.get("SPARK_GRAFT_STRESS_REPLICAS", "32"))
         spark = build_session(CPUS)
-        kg_triples(spark, "/root/testdata/sf0.001").count()  # warm-up
-        base = transcripts_from_events(spark, SF_DIR)
-        n_rows = base.count() * replicas
-        scaled = base.crossJoin(
-            spark.range(replicas).select(F.col("id").alias("replica"))
-        ).withColumn(
-            "conv_id", F.concat_ws("-", "conv_id", "replica")
-        ).drop("replica")
-        df = transcripts_to_triples(scaled, n_rows=n_rows)
-        t0 = time.time()
-        n = df.count()
-        dt = round(time.time() - t0, 3)
+        n, dt = timed_replicated_pipeline(spark, replicas)
+        dt = round(dt, 3)
         print(json.dumps({
             "metric": "stress_triples_per_sec",
             "value": round(n / dt, 1),
