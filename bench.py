@@ -257,7 +257,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     entrymod.queries()["kg_triples"](spark, "/root/testdata/sf0.001").count()
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings, triples = run_queries(spark, SF_DIR, reps=reps)
     total = round(sum(timings.values()), 3)
     print(json.dumps({

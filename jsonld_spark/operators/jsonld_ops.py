@@ -230,27 +230,35 @@ def from_rdf_nodes(triples: DataFrame, use_native_types: bool = False,
         return pd.DataFrame(
             out, columns=["gkey", "kind", "subject", "predicate", "obj_value", "items"])
 
-    # group the resolver by (gkey, chain_id), NOT gkey alone: a
-    # list-heavy corpus with one default graph would otherwise land
-    # every chain on one task (VERDICT r2 #2). Each subset quad routes
-    # to the component of the candidate it touches; nil references from
-    # non-candidates are their own singleton groups (their walk reads
-    # only that quad). coalesce order: a candidate subject's component
-    # wins; remaining quads are iri-object refs by construction.
-    comp = _chain_ids(subset, cand_ck)
-    routed = (
-        subset
-        .join(comp.select("gkey", F.col("node").alias("subject"),
-                          F.col("label").alias("subj_cid")),
-              ["gkey", "subject"], "left")
-        .join(comp.select("gkey", F.col("node").alias("obj_value"),
-                          F.col("label").alias("obj_cid")),
-              ["gkey", "obj_value"], "left")
-        .withColumn("chain_id", F.coalesce(
-            "subj_cid", "obj_cid", F.concat(F.lit("~nilref~"), F.col("subject"))))
-        .drop("subj_cid", "obj_cid")
-    )
-    resolved = routed.groupBy("gkey", "chain_id").applyInPandas(resolve, _REPL_SCHEMA)
+    if subset.isEmpty():
+        # common case — a list-free corpus: skip the component loop,
+        # routing joins and resolver stage entirely (the isEmpty probe
+        # on the checkpointed subset is one near-free partition read,
+        # and the skipped machinery is several driver-blocking jobs)
+        resolved = spark.createDataFrame([], _REPL_SCHEMA)
+    else:
+        # group the resolver by (gkey, chain_id), NOT gkey alone: a
+        # list-heavy corpus with one default graph would otherwise land
+        # every chain on one task (VERDICT r2 #2). Each subset quad
+        # routes to the component of the candidate it touches; nil
+        # references from non-candidates are their own singleton groups
+        # (their walk reads only that quad). coalesce order: a candidate
+        # subject's component wins; remaining quads are iri-object refs
+        # by construction.
+        comp = _chain_ids(subset, cand_ck)
+        routed = (
+            subset
+            .join(comp.select("gkey", F.col("node").alias("subject"),
+                              F.col("label").alias("subj_cid")),
+                  ["gkey", "subject"], "left")
+            .join(comp.select("gkey", F.col("node").alias("obj_value"),
+                              F.col("label").alias("obj_cid")),
+                  ["gkey", "obj_value"], "left")
+            .withColumn("chain_id", F.coalesce(
+                "subj_cid", "obj_cid", F.concat(F.lit("~nilref~"), F.col("subject"))))
+            .drop("subj_cid", "obj_cid")
+        )
+        resolved = routed.groupBy("gkey", "chain_id").applyInPandas(resolve, _REPL_SCHEMA)
 
     # route the resolver's findings into the SAME (graph, subject)
     # grouping as the quads themselves — as marker rows — instead of

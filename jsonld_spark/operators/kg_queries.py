@@ -28,15 +28,14 @@ def parse_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonld_spark.operators.extract import with_payload
     from jsonld_spark.operators.kg_pipeline import docs_to_quads_safe
 
+    from jsonld_spark.sources.oracle import PARSE_ERROR_MOD, PARSE_ERROR_SLOTS
+
     docs = with_payload(transcripts_from_events(spark, sf_dir))
-    m = F.col("turn_idx") % 97
-    corrupted = docs.withColumn(
-        "jsonld",
-        F.when(m == 13, F.lit('{"broken'))                 # invalid JSON
-        .when(m == 29, F.lit('{"@id": 5, "a": "b"}'))      # invalid @id value
-        .when(m == 47, F.lit(None).cast("string"))         # missing document
-        .otherwise(F.col("jsonld")),
-    )
+    m = F.col("turn_idx") % PARSE_ERROR_MOD
+    payload = F.col("jsonld")
+    for slot, (bad_doc, _) in sorted(PARSE_ERROR_SLOTS.items(), reverse=True):
+        payload = F.when(m == slot, F.lit(bad_doc).cast("string")).otherwise(payload)
+    corrupted = docs.withColumn("jsonld", payload)
     return (
         docs_to_quads_safe(corrupted)
         .where(F.col("_error").isNotNull())

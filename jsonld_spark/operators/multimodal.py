@@ -90,6 +90,10 @@ def decode_features(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # null text -> null payload; the
+                    # oracle emits the row with NULL features
+                    rows.append((doc_id, None, None, None, None))
+                    continue
                 data = bytes(payload)
                 feats = decoder(data)
                 rows.append(
@@ -163,6 +167,9 @@ def resize_assets(assets: DataFrame, target_w: int = RESIZE_TARGET_W,
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # oracle: row with NULL out columns
+                    rows.append((doc_id, target_w, target_h, None, None))
+                    continue
                 out = resizer(bytes(payload), target_w, target_h)
                 rows.append((doc_id, target_w, target_h, len(out),
                              hashlib.sha256(out).hexdigest()))
@@ -212,6 +219,8 @@ def sample_frames(assets: DataFrame, frame_bytes: int = FRAME_BYTES,
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # oracle: range over NULL -> no rows
+                    continue
                 data = bytes(payload)
                 n_frames = (len(data) + frame_bytes - 1) // frame_bytes
                 for i in range(0, n_frames, stride):
@@ -226,6 +235,12 @@ def sample_frames(assets: DataFrame, frame_bytes: int = FRAME_BYTES,
 
 def sampled_frames_sql(frame_bytes: int = FRAME_BYTES,
                        stride: int = FRAME_STRIDE) -> str:
+    """Oracle for sample_frames. NOTE: DuckDB's substring/sha256 are
+    VARCHAR-only (no blob slicing), so the oracle slices CHARACTERS —
+    exact only on ASCII corpora (true of the driver corpus by
+    construction). The OPERATOR is byte-correct on any payload:
+    test_frame_sampling_is_byte_exact_on_non_ascii pins it against a
+    pure-python byte reference."""
     return f"""
 SELECT doc_id,
        CAST(i AS INT) AS frame_idx,

@@ -111,19 +111,31 @@ def triples_select() -> str:
     return f"SELECT DISTINCT * FROM (\n{union}\n)"
 
 
+# corruption schedule shared by operators/kg_queries.parse_error_report
+# and the oracle below — one source of truth for which turns quarantine
+# and with which spec code (JsonLdException.php taxonomy)
+PARSE_ERROR_MOD = 97
+PARSE_ERROR_SLOTS = {
+    13: ('{"broken', "loading document failed"),          # invalid JSON
+    29: ('{"@id": 5, "a": "b"}', "invalid @id value"),     # spec error
+    47: (None, "missing document"),                        # null payload
+}
+
+
 def kg_parse_errors_sql() -> str:
     """Oracle for the error-channel query: the corruption rule is
     deterministic in turn_idx, so the quarantined set and each row's
     spec error code (JsonLdException.php taxonomy) are predictable."""
+    whens = " ".join(
+        f"WHEN {slot} THEN '{code}'" for slot, (_, code) in sorted(PARSE_ERROR_SLOTS.items())
+    )
+    slots = ", ".join(str(s) for s in sorted(PARSE_ERROR_SLOTS))
     return f"""
 WITH tr AS ({transcripts_sql()})
 SELECT conv_id, turn_idx,
-       CASE turn_idx % 97
-            WHEN 13 THEN 'loading document failed'
-            WHEN 29 THEN 'invalid @id value'
-            WHEN 47 THEN 'missing document' END AS error_code
+       CASE turn_idx % {PARSE_ERROR_MOD} {whens} END AS error_code
 FROM tr
-WHERE turn_idx % 97 IN (13, 29, 47)"""
+WHERE turn_idx % {PARSE_ERROR_MOD} IN ({slots})"""
 
 
 def kg_triples_sql() -> str:

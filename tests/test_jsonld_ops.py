@@ -287,11 +287,14 @@ def test_from_rdf_nodes_randomized_vs_kernel(spark):
 
 def test_from_rdf_nodes_plan_has_no_whole_graph_group(spark):
     """VERDICT.md #3 'done' criterion: the full quad stream is grouped
-    by (graph, subject), never by graph alone — only the bounded
-    list-machinery subset uses a per-graph pandas group."""
+    by (graph, subject), never by graph alone. On this LIST-FREE corpus
+    the resolver stage short-circuits away entirely (empty-subset fast
+    path), so the plan has NO pandas group stage at all; list-carrying
+    corpora get the (gkey, chain_id)-grouped resolver instead
+    (test_from_rdf_nodes_many_chains_one_graph)."""
     tri = kg_triples(spark, SF)
     plan = from_rdf_nodes(tri)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FlatMapGroupsInPandas") == 1  # list resolver only
+    assert plan.count("FlatMapGroupsInPandas") == 0  # resolver skipped
     # the node assembly aggregates on both keys
     assert "collect_list" in plan
     agg_lines = [ln for ln in plan.splitlines()

@@ -385,3 +385,41 @@ def test_multimodal_resize_and_frame_sampling(spark):
         .where(F.col("doc_id") == first["doc_id"]).collect()
     }
     assert got == expected and len(got) >= 1
+
+
+def test_multimodal_byte_exact_on_non_ascii_and_null(spark):
+    """The OPERATORS are byte-correct on any payload, including
+    multi-byte UTF-8 where the VARCHAR-only DuckDB oracle cannot
+    follow (documented precondition: the oracle is ASCII-exact); null
+    payloads mirror the oracle's NULL semantics instead of crashing."""
+    import hashlib
+
+    from jsonld_spark.operators import multimodal
+
+    text = "héllo wörld " * 30  # multi-byte chars cross frame bounds
+    assets = spark.createDataFrame(
+        [(0, bytearray(text.encode("utf-8"))), (1, None)],
+        "doc_id long, payload binary",
+    )
+    data = text.encode("utf-8")
+    fb, stride = multimodal.FRAME_BYTES, multimodal.FRAME_STRIDE
+    n_frames = (len(data) + fb - 1) // fb
+    expected = {
+        (0, i, len(data[i * fb:(i + 1) * fb]),
+         hashlib.sha256(data[i * fb:(i + 1) * fb]).hexdigest())
+        for i in range(0, n_frames, stride)
+    }
+    got = {tuple(r) for r in multimodal.sample_frames(assets).collect()}
+    assert got == expected  # doc 1 (null) contributes no frames
+
+    resized = {r["doc_id"]: r for r in multimodal.resize_assets(
+        assets, resizer=multimodal.deterministic_fake_resizer).collect()}
+    ref = data[:multimodal.RESIZE_MAX_BYTES]
+    assert resized[0]["out_bytes"] == len(ref)
+    assert resized[0]["out_sha256"] == hashlib.sha256(ref).hexdigest()
+    assert resized[1]["out_bytes"] is None and resized[1]["out_sha256"] is None
+
+    decoded = {r["doc_id"]: r for r in multimodal.decode_features(
+        assets, decoder=multimodal.deterministic_fake_decoder).collect()}
+    assert decoded[0]["n_bytes"] == len(data)
+    assert decoded[1]["n_bytes"] is None and decoded[1]["width"] is None
