@@ -222,7 +222,9 @@ def main() -> None:
             return best, n
 
         plain_sec, n_plain = best_of(
-            lambda: mentions.join(resolve_dictionary(dict_df), "surface", "inner")
+            # left, matching the salted path's semantics (mentions with
+            # unresolvable surfaces survive) — apples-to-apples timing
+            lambda: mentions.join(resolve_dictionary(dict_df), "surface", "left")
         )
         salted_sec, n_salted = best_of(
             lambda: link_mentions_join_salted(mentions, dict_df)
