@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_fromrdf_nodes": lambda spark, sf: jsonld_ops.from_rdf_nodes(
             cached_triples(spark, sf), use_native_types=True
         ),
+        # the @list chain machinery end-to-end (the kg corpus carries
+        # no lists): one deterministic chain per nation, exact oracle
+        "jsonld_fromrdf_lists": jsonld_ops.from_rdf_list_nodes,
         # --- KG construction pipeline (the reference's capabilities) ---
         "kg_triples": cached_triples,
         "kg_nquads": lambda spark, sf: nquads_lines(cached_triples(spark, sf)),
@@ -161,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from jsonld_spark.operators import dedup, multimodal, relational, similarity, text
+    from jsonld_spark.operators.jsonld_ops import from_rdf_list_nodes_sql
     from jsonld_spark.sources import oracle as O
 
     return {
@@ -168,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonld_compact_docs": O.jsonld_compact_docs_sql(),
         "jsonld_flatten_docs": O.jsonld_flatten_docs_sql(),
         "jsonld_fromrdf_nodes": O.jsonld_fromrdf_nodes_sql(),
+        "jsonld_fromrdf_lists": from_rdf_list_nodes_sql(),
         "kg_triples": O.kg_triples_sql(),
         "kg_nquads": O.kg_nquads_sql(),
         "kg_mention_links": O.kg_mention_detection_sql(),

@@ -148,6 +148,57 @@ _REPL_SCHEMA = ("gkey string, kind string, subject string, predicate string, "
                 "obj_value string, items string")
 
 
+LIST_SUBJ_PREFIX = "http://kg.example/nation/"
+LIST_PRED = "http://kg.example/vocab#names"
+
+
+def from_rdf_list_nodes(spark, sf_dir: str) -> DataFrame:
+    """Driver query exercising the @list chain machinery end-to-end
+    with an EXACT oracle: each nation gets a deterministic two-element
+    rdf:first/rdf:rest chain (name, lowercased name); fromRdf must
+    consume every chain node and rewrite the head reference to
+    ``{"@list": [...]}``. The output node JSON is formulaic, so the
+    oracle rebuilds it by string concatenation — the list-resolver path
+    (connected components + per-chain groups) is otherwise invisible to
+    the driver corpus, which carries no lists."""
+    from jsonld_spark.plans.session import read_table
+
+    nation = read_table(spark, sf_dir, "nation")
+    s = F.concat(F.lit(LIST_SUBJ_PREFIX), F.col("n_nationkey"))
+    l0 = F.concat(F.lit("_:l"), F.col("n_nationkey"), F.lit("a"))
+    l1 = F.concat(F.lit("_:l"), F.col("n_nationkey"), F.lit("b"))
+    ns = F.lit(None).cast("string")
+
+    def quad(subj, pred, kind, val):
+        return nation.select(
+            ns.alias("graph"), subj.alias("subject"), F.lit(pred).alias("predicate"),
+            F.lit(kind).alias("obj_kind"), val.alias("obj_value"),
+            ns.alias("obj_type"), ns.alias("obj_lang"),
+        )
+
+    quads = (
+        quad(s, LIST_PRED, "iri", l0)
+        .unionByName(quad(l0, RDF_FIRST, "literal", F.col("n_name")))
+        .unionByName(quad(l0, RDF_REST, "iri", l1))
+        .unionByName(quad(l1, RDF_FIRST, "literal", F.lower(F.col("n_name"))))
+        .unionByName(quad(l1, RDF_REST, "iri", F.lit(RDF_NIL)))
+    )
+    return from_rdf_nodes(quads)
+
+
+def from_rdf_list_nodes_sql() -> str:
+    """Oracle: one node per nation, chains consumed, head rewritten to
+    an @list — the json.dumps(sort_keys=True) form rebuilt verbatim
+    (n_name is upper-ASCII, no JSON escaping needed)."""
+    return f"""
+SELECT CAST(NULL AS VARCHAR) AS graph,
+       '{LIST_SUBJ_PREFIX}' || n_nationkey AS subject,
+       '{{"@id": "{LIST_SUBJ_PREFIX}' || n_nationkey ||
+       '", "{LIST_PRED}": [{{"@list": [{{"@value": "' || n_name ||
+       '"}}, {{"@value": "' || lower(n_name) || '"}}]}}]}}' AS node
+FROM nation"""
+
+
 def from_rdf_nodes(triples: DataFrame, use_native_types: bool = False,
                    use_rdf_type: bool = False) -> DataFrame:
     """Quads -> expanded node objects (Processor::fromRdf semantics),
