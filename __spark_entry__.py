@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conversation_stats": kg_queries.conversation_stats,
         # error channel: corrupt slices quarantine with spec codes
         "kg_parse_errors": kg_queries.parse_error_report,
+        # graph analytics: components over the co-mention graph
+        "kg_entity_components": kg_queries.entity_components,
         "kg_adjacency": lambda spark, sf: kg_queries.adjacency(
             spark, sf, triples=cached_triples(spark, sf)
         ),
@@ -180,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_mentions": O.kg_entity_mentions_sql(),
         "kg_conversation_stats": O.kg_conversation_stats_sql(),
         "kg_parse_errors": O.kg_parse_errors_sql(),
+        "kg_entity_components": O.kg_entity_components_sql(),
         "kg_adjacency": O.kg_adjacency_sql(),
         "kg_adjacency_lists": O.kg_adjacency_lists_sql(),
         "kg_reverse_adjacency": O.kg_reverse_adjacency_sql(),

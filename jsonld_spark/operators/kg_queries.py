@@ -102,6 +102,29 @@ def conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def entity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the entity CO-MENTION graph (entities
+    linked in the same conversation are connected) — the KG-analytics
+    face of operators/components.py (min-label propagation + pointer
+    jumping), here oracle-checked end-to-end: DuckDB mirrors it with a
+    recursive transitive-closure CTE + MIN(label). Component id = the
+    lexicographically smallest member."""
+    from jsonld_spark.operators.components import connected_components
+
+    links = mention_links(spark, sf_dir).select("conv_id", "entity_id").distinct()
+    key = F.lit("").alias("key")
+    nodes = links.select(key, F.col("entity_id").alias("node")).distinct()
+    edges = (
+        links.alias("a")
+        .join(links.alias("b"), "conv_id")
+        .where(F.col("a.entity_id") != F.col("b.entity_id"))
+        .select(key, F.col("a.entity_id").alias("a"), F.col("b.entity_id").alias("b"))
+    )
+    comp = connected_components(nodes, edges)
+    return comp.select(F.col("node").alias("entity_id"),
+                       F.col("label").alias("component"))
+
+
 def adjacency(spark: SparkSession, sf_dir: str, triples: DataFrame | None = None) -> DataFrame:
     """Forward adjacency summary keyed by subject (the materialized
     adjacency table is this groupBy + collect_list; counts here keep

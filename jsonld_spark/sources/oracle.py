@@ -138,6 +138,27 @@ FROM tr
 WHERE turn_idx % {PARSE_ERROR_MOD} IN ({slots})"""
 
 
+def kg_entity_components_sql() -> str:
+    """Oracle for the co-mention connected components: recursive
+    transitive closure over the co-mention edges, component = MIN of
+    the reachable set (DuckDB's UNION-deduped recursion terminates at
+    the fixpoint — exact for the tiny entity vertex set)."""
+    return (
+        "WITH RECURSIVE"
+        + base_ctes()[len("\nWITH"):]
+        + """
+, lk2 AS (SELECT DISTINCT conv_id, entity_id FROM linked),
+edges AS (
+  SELECT DISTINCT x.entity_id AS a, y.entity_id AS b
+  FROM lk2 x JOIN lk2 y ON x.conv_id = y.conv_id AND x.entity_id <> y.entity_id),
+reach(n, m) AS (
+  SELECT entity_id, entity_id FROM (SELECT DISTINCT entity_id FROM lk2)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+SELECT n AS entity_id, MIN(m) AS component FROM reach GROUP BY n"""
+    )
+
+
 def kg_triples_sql() -> str:
     return base_ctes() + "\n" + triples_select()
 
