@@ -117,7 +117,9 @@ def entity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         links.alias("a")
         .join(links.alias("b"), "conv_id")
-        .where(F.col("a.entity_id") != F.col("b.entity_id"))
+        # '<' not '!=': connected_components symmetrizes internally,
+        # so one direction per undirected edge halves the carried table
+        .where(F.col("a.entity_id") < F.col("b.entity_id"))
         .select(key, F.col("a.entity_id").alias("a"), F.col("b.entity_id").alias("b"))
     )
     comp = connected_components(nodes, edges)

@@ -39,10 +39,12 @@ def resolved_values_sql() -> str:
             + ") AS lk(surface, entity_id, type_term, prior_str, prior_repr)")
 
 
-def base_ctes() -> str:
-    """Shared CTEs: transcripts -> turns -> linked mentions."""
+def base_ctes(recursive: bool = False) -> str:
+    """Shared CTEs: transcripts -> turns -> linked mentions.
+    ``recursive=True`` emits WITH RECURSIVE so callers can append
+    recursive CTEs without splicing the prefix textually."""
     return f"""
-WITH tr AS ({transcripts_sql()}),
+WITH{' RECURSIVE' if recursive else ''} tr AS ({transcripts_sql()}),
 turns AS (
   SELECT conv_id, turn_idx, role, tool, ts, n_mentions, s0, s1, s2,
          {transcripts_text_sql()} AS text,
@@ -144,8 +146,7 @@ def kg_entity_components_sql() -> str:
     the reachable set (DuckDB's UNION-deduped recursion terminates at
     the fixpoint — exact for the tiny entity vertex set)."""
     return (
-        "WITH RECURSIVE"
-        + base_ctes()[len("\nWITH"):]
+        base_ctes(recursive=True)
         + """
 , lk2 AS (SELECT DISTINCT conv_id, entity_id FROM linked),
 edges AS (

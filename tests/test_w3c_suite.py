@@ -125,9 +125,12 @@ def test_w3c_cases_replay_on_executors(spark):
                     actual = json.dumps(api.expand(doc, base=base), sort_keys=True)
                     want = json.dumps(json.loads(expected), sort_keys=True)
                 else:
+                    # SET equality, same as the tier-1 harness (_nq_set;
+                    # W3CTestSuiteTest.php:317-322) so the two gates can
+                    # never disagree on duplicate-line handling
                     nq = api.to_rdf(doc, base=base, produce_generalized_rdf=bool(gen))
-                    actual = "\n".join(sorted(l for l in nq.split("\n") if l.strip()))
-                    want = "\n".join(sorted(l for l in expected.split("\n") if l.strip()))
+                    actual = "\n".join(sorted({l for l in nq.split("\n") if l.strip()}))
+                    want = "\n".join(sorted({l for l in expected.split("\n") if l.strip()}))
                 out.append((kind, name, actual == want))
             yield pd.DataFrame(out, columns=["kind", "name", "ok"])
 
