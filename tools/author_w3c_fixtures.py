@@ -1104,6 +1104,33 @@ EXPAND += [
         [],
     ),
     (
+        "@list container wraps a single scalar value",
+        {"@context": {"t": {"@id": EX + "p", "@container": "@list"}},
+         "@id": EX + "n", "t": "solo"},
+        # Processor.php:462-470: a non-@list value under a @list
+        # container is wrapped after expansion
+        [{"@id": EX + "n", EX + "p": [{"@list": [{"@value": "solo"}]}]}],
+    ),
+    (
+        "a term serves as both a term and a CURIE prefix",
+        {"@context": {"t": EX + "x#"},
+         "@id": EX + "n", "t": "as-term", "t:suffix": "as-prefix"},
+        [{"@id": EX + "n",
+          EX + "x#": [{"@value": "as-term"}],
+          EX + "x#suffix": [{"@value": "as-prefix"}]}],
+    ),
+    (
+        "@reverse term with @index container",
+        # @set/@index are the only containers allowed on reverse terms
+        # (Processor.php:1626-1639); items land in the @reverse map
+        # with their @index attached
+        {"@context": {"children": {"@reverse": EX + "parent",
+                                   "@container": "@index"}},
+         "@id": EX + "n", "children": {"k": {"@id": EX + "m"}}},
+        [{"@id": EX + "n",
+          "@reverse": {EX + "parent": [{"@id": EX + "m", "@index": "k"}]}}],
+    ),
+    (
         "@container does not chain through term-to-term aliases",
         # t2's definition is the STRING "t1": its @id chains to t1's
         # IRI (Processor.php:860-872) but @container/@type are NOT
@@ -1170,6 +1197,13 @@ TORDF += [
         "relative subject without a base emits nothing",
         {"@context": {"@base": None}, "@id": "rel", EX + "p": "v"},
         [],
+        {},
+    ),
+    (
+        "@index emits no quads",
+        {"@id": EX + "n", "@index": "idx", EX + "p": {"@value": "v",
+                                                      "@index": "vi"}},
+        [f'<{EX}n> <{EX}p> "v" .'],
         {},
     ),
     (
