@@ -20,6 +20,10 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# seed for the reverse k-hop reachability query: the head entity
+# (E0 carries ~44% of mentions — the skew case the BFS must survive)
+KHOP_SEED = "http://kg.example/entity/E0"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: events-derived transcripts -> mention detection ->
@@ -33,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from jsonld_spark.operators import (
         dedup,
+        graph,
         jsonld_ops,
         kg_queries,
         multimodal,
@@ -95,6 +100,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_parse_errors": kg_queries.parse_error_report,
         # graph analytics: components over the co-mention graph
         "kg_entity_components": kg_queries.entity_components,
+        # graph analytics over the triple graph's IRI edges: degree-
+        # oriented triangles, fixed-point integer PageRank (bit-exact
+        # across engines), reverse k-hop BFS from the head entity
+        "kg_triangle_counts": lambda spark, sf: graph.triangle_counts(
+            graph.iri_edges(cached_triples(spark, sf))
+        ),
+        "kg_pagerank": lambda spark, sf: graph.pagerank_fixedpoint(
+            graph.iri_edges(cached_triples(spark, sf))
+        ),
+        "kg_khop_reach": lambda spark, sf: graph.khop_distances(
+            graph.iri_edges(cached_triples(spark, sf)),
+            spark.createDataFrame([(KHOP_SEED,)], "node string"),
+        ),
         "kg_adjacency": lambda spark, sf: kg_queries.adjacency(
             spark, sf, triples=cached_triples(spark, sf)
         ),
@@ -183,6 +201,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_conversation_stats": O.kg_conversation_stats_sql(),
         "kg_parse_errors": O.kg_parse_errors_sql(),
         "kg_entity_components": O.kg_entity_components_sql(),
+        "kg_triangle_counts": O.kg_triangle_counts_sql(),
+        "kg_pagerank": O.kg_pagerank_sql(),
+        "kg_khop_reach": O.kg_khop_reach_sql(KHOP_SEED),
         "kg_adjacency": O.kg_adjacency_sql(),
         "kg_adjacency_lists": O.kg_adjacency_lists_sql(),
         "kg_reverse_adjacency": O.kg_reverse_adjacency_sql(),

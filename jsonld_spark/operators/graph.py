@@ -1,0 +1,198 @@
+"""Graph analytics over the materialized triple table.
+
+The reference stops at graph *construction* (Document/Graph/Node in
+Document.php — adjacency is walked imperatively per node); a KG built at
+corpus scale also needs the analytical primitives that consume the
+graph. These operate on the IRI-edge projection of the triple table
+(subject -> obj_value where obj_kind='iri'), i.e. the same edge set the
+adjacency sink materializes:
+
+- ``triangle_counts``: per-node triangle participation via DEGREE
+  ORIENTATION (the node-iterator bound of Schank & Wagner / Suri &
+  Vassilvitskii's MR-friendly variant): every undirected edge is
+  oriented from its lower-(degree, id) endpoint to the higher one, so
+  wedge generation is quadratic only in the *oriented out-degree*,
+  which is O(sqrt(m)) — a hub with 10^9 in-edges contributes no
+  hub-centered wedges. This is the shape that survives head-entity
+  skew at 10^12 turns; a naive wedge join on the raw adjacency would
+  square the hub.
+- ``pagerank_fixedpoint``: K rounds of PageRank in FIXED-POINT integer
+  arithmetic (rank scaled by 1e9, damping 85/100, floor division).
+  Floating-point PageRank is not reproducible across engines (sum
+  order differs per partitioning); integer sums are associative, so
+  the distributed result is bit-identical to any sequential
+  re-computation — which is what makes the DuckDB oracle exact.
+  Variant documented precisely: r0 = S; r_{k+1}(v) = floor(S*15/100)
+  + sum over in-edges (u,v) of floor(r_k(u)*85 / (100*outdeg(u)));
+  dangling mass is dropped (not redistributed).
+- ``khop_distances``: bounded-depth BFS (min-hop distance from a seed
+  set), frontier-at-a-time — each round touches only edges incident
+  to the new frontier, the standard iterative shape for "who reaches
+  entity X within K hops" provenance queries.
+
+All three are plain DataFrame joins/aggregations (no Python UDFs);
+iterative loops localCheckpoint() per round so lineage stays flat (at
+cluster scale these become reliable checkpoint()s, same as
+operators/components.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**9  # fixed-point rank scale; see module docstring
+PR_ITERATIONS = 3
+KHOP_DEFAULT_K = 4
+
+
+def iri_edges(triples: DataFrame) -> DataFrame:
+    """Directed (src, dst) edge projection of the triple table:
+    IRI-kind objects only, self-loops dropped, deduplicated."""
+    return (
+        triples.where(
+            (F.col("obj_kind") == "iri") & (F.col("subject") != F.col("obj_value"))
+        )
+        .select(F.col("subject").alias("src"), F.col("obj_value").alias("dst"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, n_triangles) for every node on >=1 triangle of the
+    UNDIRECTED graph underlying ``edges``.
+
+    Degree orientation: okey(n) = zero-padded degree || '|' || node is
+    a total order; orienting every edge low-okey -> high-okey makes
+    max oriented out-degree O(sqrt(m)), so the wedge self-join is
+    bounded even on hub-skewed graphs. A wedge (a->b1, a->b2) with
+    okey(b1) < okey(b2) closes iff oriented edge (b1 -> b2) exists —
+    each triangle is found exactly once, at its lowest-okey corner.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # 12 digits of degree keeps the string order == (deg, node) order
+    # up to 10^12-degree hubs (the north_rule scale)
+    keyed = deg.select(
+        "node",
+        F.concat(
+            F.lpad(F.col("deg").cast("string"), 12, "0"), F.lit("|"), F.col("node")
+        ).alias("okey"),
+    )
+    withk = (
+        und.join(keyed.select(F.col("node").alias("u"), F.col("okey").alias("ku")), "u")
+        .join(keyed.select(F.col("node").alias("v"), F.col("okey").alias("kv")), "v")
+    )
+    lo = F.col("ku") < F.col("kv")
+    oriented = withk.select(
+        F.when(lo, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lo, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lo, F.col("kv")).otherwise(F.col("ku")).alias("kb"),
+    ).localCheckpoint()  # consumed 3x below; never recompute the join
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), "a")
+        .where(F.col("e1.kb") < F.col("e2.kb"))
+        .select(
+            F.col("a").alias("apex"),
+            F.col("e1.b").alias("b1"),
+            F.col("e2.b").alias("b2"),
+        )
+    )
+    closed = wedges.join(
+        oriented.select(F.col("a").alias("b1"), F.col("b").alias("b2")), ["b1", "b2"]
+    )
+    return (
+        closed.select(
+            F.explode(F.array("apex", "b1", "b2")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame, iterations: int = PR_ITERATIONS, scale: int = PR_SCALE
+) -> DataFrame:
+    """(node, rank_fp) after ``iterations`` fixed-point PageRank rounds
+    (see module docstring for the exact integer recurrence). rank_fp is
+    a BIGINT — bit-identical across engines and partitionings because
+    every operation is integer (floor division via `div`, associative
+    integer sums)."""
+    e = edges.localCheckpoint()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    esrc = e.join(outdeg, "src").localCheckpoint()  # (src, dst, outdeg)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    base = scale * 15 // 100
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_fp"))
+    for _ in range(iterations):
+        contrib = esrc.join(
+            ranks.select(F.col("node").alias("src"), "rank_fp"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("(rank_fp * 85) div (100 * outdeg)").alias("c"),
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("rank_fp"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def khop_distances(
+    edges: DataFrame, seeds: DataFrame, k: int = KHOP_DEFAULT_K, reverse: bool = True
+) -> DataFrame:
+    """(node, dist): min-hop distance (0..k) from the ``seeds`` node
+    set. ``reverse=True`` walks edges backwards — "which nodes REACH a
+    seed within k hops" (the provenance direction: what feeds entity
+    X). Frontier-at-a-time BFS: round d joins only the round-(d-1)
+    frontier against the edge table and anti-joins the settled set, so
+    per-round work is proportional to the frontier's incident edges."""
+    step = (
+        edges.select(F.col("dst").alias("frm"), F.col("src").alias("to"))
+        if reverse
+        else edges.select(F.col("src").alias("frm"), F.col("dst").alias("to"))
+    ).localCheckpoint()
+    dist = (
+        seeds.select("node", F.lit(0).cast("int").alias("dist"))
+        .distinct()
+        .localCheckpoint()
+    )
+    frontier = dist.select("node")
+    for d in range(1, k + 1):
+        nxt = (
+            step.join(frontier.select(F.col("node").alias("frm")), "frm")
+            .select(F.col("to").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(d).cast("int").alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist

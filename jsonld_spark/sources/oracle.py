@@ -160,6 +160,101 @@ SELECT n AS entity_id, MIN(m) AS component FROM reach GROUP BY n"""
     )
 
 
+def _graph_edges_ctes(recursive: bool = False) -> str:
+    """Shared CTE chain ending in ``edges``: the directed IRI-edge
+    projection of the triple table (operators/graph.iri_edges).
+    MATERIALIZED: the graph analytics reference ``edges`` (and CTEs
+    built on it) several times, and DuckDB's default CTE inlining
+    re-evaluates the whole upstream chain per reference — measured 82 s
+    vs 0.3 s on the triangle oracle at sf0.01."""
+    return (
+        base_ctes(recursive=recursive)
+        + ",\ntri AS ("
+        + triples_select()
+        + """),
+edges AS MATERIALIZED (
+  SELECT DISTINCT subject AS src, obj_value AS dst FROM tri
+  WHERE obj_kind = 'iri' AND subject <> obj_value)"""
+    )
+
+
+def kg_triangle_counts_sql() -> str:
+    """Oracle for per-node triangle counts. The naive canonical a<b<c
+    three-way self-join is quadratic at the E0 hub (~50M wedges with E0
+    as the middle vertex — measured ~90 s at sf0.01), so this oracle
+    shares the Spark side's degree-orientation idea, expressed in SQL.
+    Algorithmic independence is therefore provided separately: the
+    randomized differential test (tests/test_graph.py) checks the Spark
+    operator against brute-force Python triangle enumeration; this
+    oracle then pins the full pipeline (triples -> edges -> counts) at
+    driver scale in a different engine."""
+    return (
+        _graph_edges_ctes()
+        + """,
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY node),
+keyed AS MATERIALIZED (SELECT node, lpad(CAST(d AS VARCHAR), 12, '0') || '|' || node AS okey FROM deg),
+oe AS MATERIALIZED (
+  SELECT CASE WHEN ku.okey < kv.okey THEN e.u ELSE e.v END AS a,
+         CASE WHEN ku.okey < kv.okey THEN e.v ELSE e.u END AS b,
+         GREATEST(ku.okey, kv.okey) AS kb
+  FROM und e JOIN keyed ku ON ku.node = e.u JOIN keyed kv ON kv.node = e.v),
+tris AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM oe e1 JOIN oe e2 ON e2.a = e1.a AND e1.kb < e2.kb
+  JOIN oe e3 ON e3.a = e1.b AND e3.b = e2.b),
+corners AS (
+  SELECT x AS node FROM tris
+  UNION ALL SELECT y FROM tris
+  UNION ALL SELECT z FROM tris)
+SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node"""
+    )
+
+
+def kg_pagerank_sql(iterations: int = 3, scale: int = 10**9) -> str:
+    """Oracle for fixed-point PageRank: the integer recurrence from
+    operators/graph.pagerank_fixedpoint unrolled as one CTE pair per
+    round (DuckDB ``//`` and Spark ``div`` agree on positive BIGINTs;
+    integer sums are order-independent, so the match is exact)."""
+    base = scale * 15 // 100
+    sql = (
+        _graph_edges_ctes()
+        + f""",
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)"""
+    )
+    for i in range(1, iterations + 1):
+        sql += f""",
+c{i} AS (
+  SELECT e.dst AS node, SUM((r.r * 85) // (100 * o.d)) AS s
+  FROM edges e JOIN outdeg o ON o.src = e.src JOIN r{i - 1} r ON r.node = e.src
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT n.node, CAST({base} + COALESCE(c{i}.s, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node)"""
+    return sql + f"\nSELECT node, r AS rank_fp FROM r{iterations}"
+
+
+def kg_khop_reach_sql(seed: str, k: int = 4) -> str:
+    """Oracle for reverse k-hop reachability: depth-bounded recursive
+    CTE (UNION dedups (node, d) pairs, d <= k terminates), min-hop
+    distance per node."""
+    return (
+        _graph_edges_ctes(recursive=True)
+        + f""",
+reach(node, d) AS (
+  SELECT '{seed}', 0
+  UNION
+  SELECT e.src, r.d + 1 FROM reach r JOIN edges e ON e.dst = r.node
+  WHERE r.d < {k})
+SELECT node, CAST(MIN(d) AS INTEGER) AS dist FROM reach GROUP BY node"""
+    )
+
+
 def kg_triples_sql() -> str:
     return base_ctes() + "\n" + triples_select()
 

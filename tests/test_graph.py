@@ -1,0 +1,160 @@
+"""Randomized differential tests for the graph-analytics operators
+(operators/graph.py) against brute-force Python implementations.
+
+These carry the algorithmic-independence burden: the driver oracles for
+kg_triangle_counts share the degree-orientation idea with the Spark
+side (the naive SQL join is quadratic at the E0 hub), so the Spark
+operators are pinned here against naive enumeration on random graphs
+instead.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import functions as F  # noqa: F401  (parity with peers)
+
+from jsonld_spark.operators.graph import (
+    khop_distances,
+    pagerank_fixedpoint,
+    triangle_counts,
+)
+
+
+def _random_edges(rng: random.Random, n: int, m: int) -> list[tuple[str, str]]:
+    nodes = [f"n{i:02d}" for i in range(n)]
+    out = set()
+    for _ in range(m):
+        a, b = rng.choice(nodes), rng.choice(nodes)
+        if a != b:
+            out.add((a, b))
+    return sorted(out)
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges or [("x", "y")], "src string, dst string")
+
+
+def _naive_triangles(edges) -> dict[str, int]:
+    adj: dict[str, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts: dict[str, int] = {}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def _naive_pagerank(edges, iterations=3, scale=10**9) -> dict[str, int]:
+    nodes = sorted({v for e in edges for v in e})
+    outdeg: dict[str, int] = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    base = scale * 15 // 100
+    r = {n: scale for n in nodes}
+    for _ in range(iterations):
+        nxt = {n: base for n in nodes}
+        for a, b in edges:
+            nxt[b] += (r[a] * 85) // (100 * outdeg[a])
+        r = nxt
+    return r
+
+
+def _naive_khop(edges, seed, k) -> dict[str, int]:
+    # reverse=True direction: step from node to its in-neighbors
+    rev: dict[str, set] = {}
+    for a, b in edges:
+        rev.setdefault(b, set()).add(a)
+    dist = {seed: 0}
+    frontier = [seed]
+    for d in range(1, k + 1):
+        nxt = []
+        for v in frontier:
+            for u in rev.get(v, ()):
+                if u not in dist:
+                    dist[u] = d
+                    nxt.append(u)
+        frontier = nxt
+    return dist
+
+
+def test_triangle_counts_random_graphs(spark):
+    """Degree-oriented counting must equal brute-force enumeration on
+    random graphs dense enough to carry many triangles — including
+    ties on degree (the okey tiebreak) and a planted hub."""
+    for seed in range(5):
+        rng = random.Random(seed)
+        n = rng.randint(6, 24)
+        edges = _random_edges(rng, n, rng.randint(n, 4 * n))
+        # plant a hub wired to everything: the skew case orientation
+        # must keep subquadratic (and a correctness edge: hub okey ties)
+        edges += [("hub", f"n{i:02d}") for i in range(0, n, 2)]
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(_edges_df(spark, edges)).collect()
+        }
+        assert got == _naive_triangles(edges), seed
+
+
+def test_triangle_counts_no_triangles(spark):
+    """A pure star has wedges but no closures: empty result."""
+    edges = [("hub", f"leaf{i}") for i in range(8)]
+    assert triangle_counts(_edges_df(spark, edges)).count() == 0
+
+
+def test_pagerank_fixedpoint_random_graphs(spark):
+    """The integer recurrence is bit-exact vs a sequential Python
+    re-computation — the property that makes the DuckDB oracle exact
+    (float PageRank would diverge in the last ulps per partitioning)."""
+    for seed in range(4):
+        rng = random.Random(100 + seed)
+        edges = _random_edges(rng, rng.randint(5, 20), rng.randint(8, 50))
+        if not edges:
+            continue
+        got = {
+            r["node"]: r["rank_fp"]
+            for r in pagerank_fixedpoint(_edges_df(spark, edges)).collect()
+        }
+        assert got == _naive_pagerank(edges), seed
+
+
+def test_pagerank_dangling_and_sink(spark):
+    """Documented variant semantics: dangling mass is dropped, sinks
+    still receive contributions. a->b, a->c, b->c: c is the sink."""
+    edges = [("a", "b"), ("a", "c"), ("b", "c")]
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixedpoint(_edges_df(spark, edges)).collect()
+    }
+    assert got == _naive_pagerank(edges)
+    assert got["c"] > got["b"] > got["a"]
+
+
+def test_khop_distances_random_graphs(spark):
+    """Min-hop distances within k match BFS, truncated at the cap."""
+    for seed in range(4):
+        rng = random.Random(200 + seed)
+        edges = _random_edges(rng, rng.randint(5, 25), rng.randint(5, 60))
+        if not edges:
+            continue
+        seed_node = edges[0][1]  # guaranteed to have an in-edge
+        for k in (1, 3):
+            seeds = spark.createDataFrame([(seed_node,)], "node string")
+            got = {
+                r["node"]: r["dist"]
+                for r in khop_distances(_edges_df(spark, edges), seeds, k=k).collect()
+            }
+            assert got == _naive_khop(edges, seed_node, k), (seed, k)
+
+
+def test_khop_early_exit_isolated_seed(spark):
+    """A seed with no in-edges returns just itself at distance 0 (the
+    frontier empties on round 1 and the loop exits)."""
+    edges = [("a", "b")]
+    seeds = spark.createDataFrame([("z",)], "node string")
+    got = khop_distances(_edges_df(spark, edges), seeds, k=4).collect()
+    assert [(r["node"], r["dist"]) for r in got] == [("z", 0)]
