@@ -36,6 +36,9 @@ HEADLINE = [
     "kg_triples",
     "kg_nquads",
     "kg_entity_mentions",
+    # graph-analytics family (added round 3; earlier BENCH_r{1,2}
+    # totals exclude it — compare per-query, not totals, across rounds)
+    "kg_pagerank",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "sim_lsh_ann_topk",
