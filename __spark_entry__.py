@@ -70,6 +70,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             cache[key] = kg_triples(spark, sf).cache()
         return cache[key]
 
+    def cached_edges(spark, sf):
+        # one shared edge cache for the graph-analytics family — the
+        # projection+distinct over the 2M-row triple table is paid once
+        key = ("edges", id(spark), sf)
+        if key not in cache:
+            cache[key] = graph.iri_edges(cached_triples(spark, sf)).cache()
+        return cache[key]
+
     return {
         # --- JSON-LD document transforms (reference API surface).
         # The per-turn payload is built by pure column exprs, so each
@@ -104,14 +112,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oriented triangles, fixed-point integer PageRank (bit-exact
         # across engines), reverse k-hop BFS from the head entity
         "kg_triangle_counts": lambda spark, sf: graph.triangle_counts(
-            graph.iri_edges(cached_triples(spark, sf))
+            cached_edges(spark, sf)
         ),
         "kg_pagerank": lambda spark, sf: graph.pagerank_fixedpoint(
-            graph.iri_edges(cached_triples(spark, sf))
+            cached_edges(spark, sf),
+            iterations=graph.PR_ITERATIONS,
+            scale=graph.PR_SCALE,
         ),
         "kg_khop_reach": lambda spark, sf: graph.khop_distances(
-            graph.iri_edges(cached_triples(spark, sf)),
+            cached_edges(spark, sf),
             spark.createDataFrame([(KHOP_SEED,)], "node string"),
+            k=graph.KHOP_DEFAULT_K,
         ),
         "kg_adjacency": lambda spark, sf: kg_queries.adjacency(
             spark, sf, triples=cached_triples(spark, sf)
@@ -183,7 +194,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from jsonld_spark.operators import dedup, multimodal, relational, similarity, text
+    from jsonld_spark.operators import (
+        dedup,
+        graph,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
     from jsonld_spark.operators.jsonld_ops import from_rdf_list_nodes_sql
     from jsonld_spark.sources import oracle as O
 
@@ -201,9 +219,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_conversation_stats": O.kg_conversation_stats_sql(),
         "kg_parse_errors": O.kg_parse_errors_sql(),
         "kg_entity_components": O.kg_entity_components_sql(),
+        # constants passed explicitly from operators/graph.py so the
+        # Spark side and the oracle cannot drift apart silently
         "kg_triangle_counts": O.kg_triangle_counts_sql(),
-        "kg_pagerank": O.kg_pagerank_sql(),
-        "kg_khop_reach": O.kg_khop_reach_sql(KHOP_SEED),
+        "kg_pagerank": O.kg_pagerank_sql(
+            iterations=graph.PR_ITERATIONS, scale=graph.PR_SCALE
+        ),
+        "kg_khop_reach": O.kg_khop_reach_sql(KHOP_SEED, k=graph.KHOP_DEFAULT_K),
         "kg_adjacency": O.kg_adjacency_sql(),
         "kg_adjacency_lists": O.kg_adjacency_lists_sql(),
         "kg_reverse_adjacency": O.kg_reverse_adjacency_sql(),

@@ -69,12 +69,17 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     okey(b1) < okey(b2) closes iff oriented edge (b1 -> b2) exists —
     each triangle is found exactly once, at its lowest-okey corner.
     """
+    # LAZY cache(), not checkpoints: eager localCheckpoint() runs jobs
+    # at DataFrame-build time (outside any caller's timing/action) and
+    # even eager=False compiles the physical plan on the spot — see
+    # pagerank_fixedpoint's docstring. und/oriented still compute once
+    # for their multiple consumers.
     und = (
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .cache()
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -99,7 +104,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(lo, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lo, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(lo, F.col("kv")).otherwise(F.col("ku")).alias("kb"),
-    ).localCheckpoint()  # consumed 3x below; never recompute the join
+    ).cache()  # consumed 3x below; computed once, lazily
     wedges = (
         oriented.alias("e1")
         .join(oriented.alias("e2"), "a")
@@ -122,6 +127,20 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def pr_scale_for(n_nodes: int) -> int:
+    """Largest safe fixed-point scale for a graph of ``n_nodes``
+    nodes. Overflow contract: total rank mass never exceeds
+    n_nodes * scale (the recurrence is mass-non-increasing), a single
+    rank is bounded by the total, and the per-edge term multiplies by
+    85 before dividing — so 85 * n_nodes * scale must stay < 2^63.
+    Violating it is NOT a clean failure: Spark's non-ANSI BIGINT sum
+    wraps silently while DuckDB promotes to HUGEINT and errors on the
+    cast, so the engines diverge exactly when it matters. The default
+    scale 1e9 is safe to ~10^8 nodes; a 10^12-node graph needs
+    scale <= ~10^5 (still 5 significant digits of rank)."""
+    return max(1, min(PR_SCALE, (2**63 - 1) // 85 // max(n_nodes, 1)))
+
+
 def pagerank_fixedpoint(
     edges: DataFrame,
     iterations: int = PR_ITERATIONS,
@@ -132,7 +151,9 @@ def pagerank_fixedpoint(
     (see module docstring for the exact integer recurrence). rank_fp is
     a BIGINT — bit-identical across engines and partitionings because
     every operation is integer (floor division via `div`, associative
-    integer sums).
+    integer sums). Caller contract: 85 * n_nodes * scale < 2^63 —
+    pick ``scale = pr_scale_for(n_nodes)`` when the graph may exceed
+    ~10^8 nodes at the default scale (see pr_scale_for).
 
     The rank table is consumed exactly ONCE per round, so lineage depth
     is linear in K — unlike the BFS in khop_distances there is no
@@ -144,12 +165,16 @@ def pagerank_fixedpoint(
     still bounds plan depth/analysis cost for large K.
 
     The multi-consumed tables (edges, edges+outdeg, nodes) use LAZY
-    cache() rather than eager localCheckpoint(): the whole computation
-    then happens inside the single consuming action (honest to time,
-    and no work wasted if the result is never materialized), while the
-    cache still dedupes the K-fold consumption. At cluster scale with
-    large K, swap in reliable df.checkpoint()s for fault tolerance."""
-    e = edges.cache()
+    cache() rather than checkpoints: eager localCheckpoint() runs the
+    job at build time, and even localCheckpoint(eager=False) compiles
+    the physical plan on the spot (measured 8.9 s of build-time work
+    at sf0.1) — cache() defers everything to the consuming action
+    (honest to time, no work if never materialized) while still
+    computing each table once for its K consumers. A caller-cached
+    ``edges`` is reused as-is (the driver shares one edge cache across
+    the graph queries). At cluster scale with large K, swap in
+    reliable df.checkpoint()s for fault tolerance."""
+    e = edges if edges.is_cached else edges.cache()
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # both consumed every round: cache once
     esrc = e.join(outdeg, "src").cache()  # (src, dst, outdeg)
@@ -188,16 +213,21 @@ def khop_distances(
     seed within k hops" (the provenance direction: what feeds entity
     X). Frontier-at-a-time BFS: round d joins only the round-(d-1)
     frontier against the edge table and anti-joins the settled set, so
-    per-round work is proportional to the frontier's incident edges."""
+    per-round work is proportional to the frontier's incident edges.
+
+    NOTE: unlike the other operators this function EXECUTES the BFS
+    when called — the loop's early exit needs each round's frontier
+    materialized (isEmpty). Timing it means timing the call itself,
+    not just an action on the returned DataFrame."""
     step = (
         edges.select(F.col("dst").alias("frm"), F.col("src").alias("to"))
         if reverse
         else edges.select(F.col("src").alias("frm"), F.col("dst").alias("to"))
-    ).localCheckpoint()
+    ).cache()  # consumed every round, computed once
     dist = (
         seeds.select("node", F.lit(0).cast("int").alias("dist"))
         .distinct()
-        .localCheckpoint()
+        .cache()
     )
     frontier = dist.select("node")
     for d in range(1, k + 1):

@@ -243,6 +243,7 @@ def kg_khop_reach_sql(seed: str, k: int = 4) -> str:
     """Oracle for reverse k-hop reachability: depth-bounded recursive
     CTE (UNION dedups (node, d) pairs, d <= k terminates), min-hop
     distance per node."""
+    seed = seed.replace("'", "''")  # IRIs may legally contain quotes
     return (
         _graph_edges_ctes(recursive=True)
         + f""",

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F  # noqa: F401  (parity with peers)
 from jsonld_spark.operators.graph import (
     khop_distances,
     pagerank_fixedpoint,
+    pr_scale_for,
     triangle_counts,
 )
 
@@ -132,6 +133,29 @@ def test_pagerank_dangling_and_sink(spark):
     }
     assert got == _naive_pagerank(edges)
     assert got["c"] > got["b"] > got["a"]
+
+
+def test_pr_scale_for_overflow_contract():
+    """The documented bound 85 * n * scale < 2^63 holds for the scale
+    pr_scale_for picks, at every magnitude up to the north-rule scale,
+    and the default survives up to ~10^8 nodes."""
+    for n in (1, 10**3, 10**8, 10**10, 10**12):
+        s = pr_scale_for(n)
+        assert s >= 1
+        assert 85 * n * s < 2**63, n
+    assert pr_scale_for(10**8) == 10**9  # default scale still safe here
+    assert pr_scale_for(10**12) < 10**9  # must shrink at 10^12 nodes
+
+
+def test_pagerank_scale_parameter_consistency(spark):
+    """A reduced scale still matches the sequential recurrence (the
+    knob pr_scale_for turns at large n)."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixedpoint(_edges_df(spark, edges), scale=10**5).collect()
+    }
+    assert got == _naive_pagerank(edges, scale=10**5)
 
 
 def test_khop_distances_random_graphs(spark):
