@@ -86,3 +86,41 @@ def test_simhash_guard_is_pushed_to_scan(spark):
     assert "PushedFilters: [IsNotNull(text)]" in plan, plan
     # exactly one projection computes the aggregate (no duplicated eval)
     assert plan.count("aggregate(") <= 2, plan.count("aggregate(")
+
+
+def test_graph_plans_have_no_cartesian_products(spark):
+    """The graph analytics must stay equality-join shaped: a planner
+    regression that turns the wedge join or the rank-contribution join
+    into a cartesian/broadcast-nested-loop would square the corpus."""
+    from jsonld_spark.operators.graph import (
+        iri_edges,
+        pagerank_fixedpoint,
+        triangle_counts,
+    )
+
+    edges = iri_edges(kg_triples(spark, SF))
+    for df in (triangle_counts(edges), pagerank_fixedpoint(edges)):
+        plan = physical_plan_of(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_graph_ops_build_lazily(spark):
+    """Building the triangle/pagerank DataFrames must run NO Spark jobs
+    (work belongs to the consuming action — the honest-timing property
+    BENCH/BASELINE.md documents; eager checkpoints regress it)."""
+    from jsonld_spark.operators.graph import (
+        iri_edges,
+        pagerank_fixedpoint,
+        triangle_counts,
+    )
+
+    # kg_triples itself runs one metadata-only footer-count job at
+    # build (documented) — snapshot the job count after it
+    edges = iri_edges(kg_triples(spark, SF))
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    triangle_counts(edges)
+    pagerank_fixedpoint(edges)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before, "graph DataFrame construction ran Spark jobs"
