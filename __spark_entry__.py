@@ -25,6 +25,22 @@ if REPO_ROOT not in sys.path:
 KHOP_SEED = "http://kg.example/entity/E0"
 
 
+def _conv_resources_path(triples: "DataFrame") -> "DataFrame":
+    """^inConversation / (entities | tool) via the path compiler."""
+    from pyspark.sql import functions as F
+
+    from jsonld_spark.operators import paths
+    from jsonld_spark.sources.entities import VOCAB
+
+    expr = paths.seq(
+        paths.inv(paths.pred(VOCAB + "inConversation")),
+        paths.alt(paths.pred(VOCAB + "entities"), paths.pred(VOCAB + "tool")),
+    )
+    return paths.evaluate(triples, expr).select(
+        F.col("src").alias("conv"), F.col("dst").alias("resource")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: events-derived transcripts -> mention detection ->
     entity linking -> JSON-LD expansion -> node map -> toRdf ->
@@ -123,6 +139,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             cached_edges(spark, sf),
             spark.createDataFrame([(KHOP_SEED,)], "node string"),
             k=graph.KHOP_DEFAULT_K,
+        ),
+        # property-path query surface (SPARQL 1.1 fragment compiled to
+        # joins): which entities/tools does each conversation touch —
+        # ^inConversation / (entities | tool)
+        "kg_path_conv_resources": lambda spark, sf: _conv_resources_path(
+            cached_triples(spark, sf)
         ),
         "kg_adjacency": lambda spark, sf: kg_queries.adjacency(
             spark, sf, triples=cached_triples(spark, sf)
@@ -226,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
             iterations=graph.PR_ITERATIONS, scale=graph.PR_SCALE
         ),
         "kg_khop_reach": O.kg_khop_reach_sql(KHOP_SEED, k=graph.KHOP_DEFAULT_K),
+        "kg_path_conv_resources": O.kg_path_conv_resources_sql(),
         "kg_adjacency": O.kg_adjacency_sql(),
         "kg_adjacency_lists": O.kg_adjacency_lists_sql(),
         "kg_reverse_adjacency": O.kg_reverse_adjacency_sql(),

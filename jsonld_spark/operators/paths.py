@@ -1,0 +1,126 @@
+"""Property-path queries over the triple table.
+
+The reference exposes graph navigation imperatively — Node.php's
+getProperty/getReverseProperties walks one edge at a time in PHP
+(Node.php:200-260, 433-452). At corpus scale the declarative analogue
+is a SPARQL 1.1 property-path fragment compiled to DataFrame joins, so
+Catalyst plans the whole navigation (join order, broadcast, AQE) and no
+per-node driver loop exists:
+
+    pred(p)          one forward step over predicate p
+    inv(path)        inverse (walk backwards)
+    seq(a, b, ...)   sequence: a/b
+    alt(a, b, ...)   alternation: a|b
+    closure(p, k)    bounded transitive closure p{1,k} (SPARQL's p+
+                     capped at k hops — unbounded closure over an
+                     unknown graph is not a 100-TB-safe query shape;
+                     the cap makes cost explicit, like khop_distances)
+
+Each expression evaluates to a DISTINCT (src, dst) relation over IRI
+nodes. Composition is pure relational algebra — sequence is a join on
+the shared endpoint, alternation a union, inverse a column swap — so
+every path is SQL-expressible and oracle-checkable exactly.
+
+Design notes for scale: every step relation filters to one predicate
+BEFORE joining (predicate pushdown to the triple scan), sequences join
+distinct-reduced relations (the (src,dst) projection dedups fan-out
+early), and closure reuses the frontier-at-a-time shape of
+graph.khop_distances rather than materializing the full reachability
+matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pred(p: str):
+    """One forward step over predicate ``p`` (IRI objects only)."""
+    def rel(triples: DataFrame) -> DataFrame:
+        return (
+            triples.where((F.col("predicate") == p) & (F.col("obj_kind") == "iri"))
+            .select(F.col("subject").alias("src"), F.col("obj_value").alias("dst"))
+            .distinct()
+        )
+    return rel
+
+
+def inv(path):
+    """Inverse path: ^p — walk the underlying path backwards."""
+    def rel(triples: DataFrame) -> DataFrame:
+        r = path(triples)
+        return r.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return rel
+
+
+def seq(*paths):
+    """Sequence path a/b/...: relational composition (join on the
+    shared endpoint), distinct-reduced at each step so fan-out
+    collapses before the next join."""
+    if not paths:
+        raise ValueError("seq() needs at least one path")
+
+    def rel(triples: DataFrame) -> DataFrame:
+        out = paths[0](triples)
+        for p in paths[1:]:
+            nxt = p(triples).select(
+                F.col("src").alias("dst"), F.col("dst").alias("nxt_dst")
+            )
+            out = (
+                out.join(nxt, "dst")
+                .select("src", F.col("nxt_dst").alias("dst"))
+                .distinct()
+            )
+        return out
+    return rel
+
+
+def alt(*paths):
+    """Alternation a|b|...: union of the step relations."""
+    if not paths:
+        raise ValueError("alt() needs at least one path")
+
+    def rel(triples: DataFrame) -> DataFrame:
+        out = paths[0](triples)
+        for p in paths[1:]:
+            out = out.unionByName(p(triples))
+        return out.distinct()
+    return rel
+
+
+def closure(path, max_hops: int):
+    """Bounded transitive closure path{1,max_hops}: frontier-at-a-time
+    expansion (the khop_distances shape) — round d joins only the new
+    frontier pairs, settled (src, dst) pairs are anti-joined out.
+
+    NOTE: like khop_distances this EXECUTES when evaluated (each
+    round's frontier must materialize to drive the early exit)."""
+    if max_hops < 1:
+        raise ValueError("closure needs max_hops >= 1")
+
+    def rel(triples: DataFrame) -> DataFrame:
+        step = path(triples).cache()  # consumed every round, computed once
+        reach = step
+        frontier = step
+        for _ in range(max_hops - 1):
+            expanded = (
+                frontier.join(
+                    step.select(F.col("src").alias("dst"), F.col("dst").alias("nxt")),
+                    "dst",
+                )
+                .select("src", F.col("nxt").alias("dst"))
+                .distinct()
+            )
+            nxt = expanded.join(reach, ["src", "dst"], "left_anti").localCheckpoint()
+            if nxt.isEmpty():
+                break
+            reach = reach.unionByName(nxt)
+            frontier = nxt
+        return reach
+    return rel
+
+
+def evaluate(triples: DataFrame, path) -> DataFrame:
+    """Evaluate a path expression to its DISTINCT (src, dst) relation."""
+    return path(triples).distinct()

@@ -239,6 +239,24 @@ r{i} AS (
     return sql + f"\nSELECT node, r AS rank_fp FROM r{iterations}"
 
 
+def kg_path_conv_resources_sql() -> str:
+    """Oracle for the property-path driver query
+    ^inConversation / (entities | tool): formulated independently of
+    the path compiler as one self-join on the shared turn (the
+    compiler evaluates inverse, sequence, and alternation as separate
+    relations) — only the result set must agree."""
+    return (
+        base_ctes()
+        + ",\ntri AS ("
+        + triples_select()
+        + f""")
+SELECT DISTINCT t1.obj_value AS conv, t2.obj_value AS resource
+FROM tri t1 JOIN tri t2 ON t1.subject = t2.subject
+WHERE t1.predicate = '{V}inConversation' AND t1.obj_kind = 'iri'
+  AND t2.predicate IN ('{V}entities', '{V}tool') AND t2.obj_kind = 'iri'"""
+    )
+
+
 def kg_khop_reach_sql(seed: str, k: int = 4) -> str:
     """Oracle for reverse k-hop reachability: depth-bounded recursive
     CTE (UNION dedups (node, d) pairs, d <= k terminates), min-hop

@@ -1,0 +1,117 @@
+"""Randomized differential tests for the property-path compiler
+(operators/paths.py) against naive Python set algebra."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F  # noqa: F401  (parity with peers)
+
+from jsonld_spark.operators import paths
+
+
+def _triples_df(spark, rows):
+    # (subject, predicate, obj_kind, obj_value) is all the compiler reads
+    return spark.createDataFrame(
+        [(s, p, "iri", o, None, None, None) for s, p, o in rows],
+        "subject string, predicate string, obj_kind string, obj_value string,"
+        " graph string, obj_type string, obj_lang string",
+    )
+
+
+def _naive(rows, p):
+    return {(s, o) for s, pr, o in rows if pr == p}
+
+
+def _naive_seq(a, b):
+    return {(s, o2) for s, o in a for s2, o2 in b if o == s2}
+
+
+def _naive_closure(rel, k):
+    reach = set(rel)
+    frontier = set(rel)
+    for _ in range(k - 1):
+        nxt = {(s, o2) for s, o in frontier for s2, o2 in rel if o == s2} - reach
+        if not nxt:
+            break
+        reach |= nxt
+        frontier = nxt
+    return reach
+
+
+def _rows(df):
+    return {(r["src"], r["dst"]) for r in df.collect()}
+
+
+def test_path_algebra_random_graphs(spark):
+    """pred/inv/seq/alt evaluate to exactly the relational-algebra
+    result on random multi-predicate graphs."""
+    for seed in range(5):
+        rng = random.Random(seed)
+        nodes = [f"n{i}" for i in range(rng.randint(4, 15))]
+        rows = [
+            (rng.choice(nodes), rng.choice("pq"), rng.choice(nodes))
+            for _ in range(rng.randint(5, 60))
+        ]
+        t = _triples_df(spark, rows)
+        p, q = _naive(rows, "p"), _naive(rows, "q")
+        assert _rows(paths.evaluate(t, paths.pred("p"))) == p, seed
+        assert _rows(paths.evaluate(t, paths.inv(paths.pred("q")))) == {
+            (o, s) for s, o in q
+        }, seed
+        assert _rows(
+            paths.evaluate(t, paths.seq(paths.pred("p"), paths.pred("q")))
+        ) == _naive_seq(p, q), seed
+        assert _rows(
+            paths.evaluate(t, paths.alt(paths.pred("p"), paths.pred("q")))
+        ) == (p | q), seed
+        # composite: ^p / (p | q)
+        got = _rows(
+            paths.evaluate(
+                t,
+                paths.seq(
+                    paths.inv(paths.pred("p")),
+                    paths.alt(paths.pred("p"), paths.pred("q")),
+                ),
+            )
+        )
+        assert got == _naive_seq({(o, s) for s, o in p}, p | q), seed
+
+
+def test_path_closure_random_graphs(spark):
+    """Bounded closure p{1,k} equals the iterated naive expansion,
+    including early convergence below the cap."""
+    for seed in range(4):
+        rng = random.Random(50 + seed)
+        nodes = [f"n{i}" for i in range(rng.randint(4, 12))]
+        rows = [
+            (rng.choice(nodes), "p", rng.choice(nodes))
+            for _ in range(rng.randint(3, 25))
+        ]
+        t = _triples_df(spark, rows)
+        rel = _naive(rows, "p")
+        for k in (1, 2, 4):
+            got = _rows(paths.evaluate(t, paths.closure(paths.pred("p"), k)))
+            assert got == _naive_closure(rel, k), (seed, k)
+
+
+def test_path_closure_chain_converges_under_cap(spark):
+    """A 6-node chain with cap 10: closure stops when the frontier
+    empties (round 6), yielding all 15 ancestor pairs."""
+    rows = [(f"c{i}", "p", f"c{i + 1}") for i in range(5)]
+    t = _triples_df(spark, rows)
+    got = _rows(paths.evaluate(t, paths.closure(paths.pred("p"), 10)))
+    assert got == {
+        (f"c{i}", f"c{j}") for i in range(6) for j in range(i + 1, 6)
+    }
+
+
+def test_path_ignores_literal_objects(spark):
+    """Steps traverse IRI edges only — literal objects are not nodes."""
+    t = spark.createDataFrame(
+        [("a", "p", "iri", "b", None, None, None),
+         ("a", "p", "literal", "text", None, None, None)],
+        "subject string, predicate string, obj_kind string, obj_value string,"
+        " graph string, obj_type string, obj_lang string",
+    )
+    assert _rows(paths.evaluate(t, paths.pred("p"))) == {("a", "b")}
