@@ -16,10 +16,13 @@ per-node driver loop exists:
                      unknown graph is not a 100-TB-safe query shape;
                      the cap makes cost explicit, like khop_distances)
 
-Each expression evaluates to a DISTINCT (src, dst) relation over IRI
-nodes. Composition is pure relational algebra — sequence is a join on
-the shared endpoint, alternation a union, inverse a column swap — so
-every path is SQL-expressible and oracle-checkable exactly.
+Each expression evaluates to a DISTINCT (src, dst) relation over
+node-valued objects — IRIs AND blank nodes (both carry
+obj_kind='iri' in the triple table); literal objects are not nodes
+and are never traversed. Composition is pure relational algebra —
+sequence is a join on the shared endpoint, alternation a union,
+inverse a column swap — so every path is SQL-expressible and
+oracle-checkable exactly.
 
 Design notes for scale: every step relation filters to one predicate
 BEFORE joining (predicate pushdown to the triple scan), sequences join
@@ -36,7 +39,8 @@ from pyspark.sql import functions as F
 
 
 def pred(p: str):
-    """One forward step over predicate ``p`` (IRI objects only)."""
+    """One forward step over predicate ``p`` (node-valued objects:
+    IRIs and blank nodes; literals excluded)."""
     def rel(triples: DataFrame) -> DataFrame:
         return (
             triples.where((F.col("predicate") == p) & (F.col("obj_kind") == "iri"))
@@ -122,5 +126,11 @@ def closure(path, max_hops: int):
 
 
 def evaluate(triples: DataFrame, path) -> DataFrame:
-    """Evaluate a path expression to its DISTINCT (src, dst) relation."""
-    return path(triples).distinct()
+    """Evaluate a path expression to its (src, dst) relation. Every
+    combinator already returns a distinct relation (pred/seq/alt end in
+    distinct; closure unions pairwise-disjoint anti-joined frontiers),
+    so no extra dedup is added here — a trailing distinct over a
+    closure result would cost a full extra shuffle Catalyst cannot
+    remove (the union of checkpointed frontiers is opaque to
+    RemoveRedundantAggregates)."""
+    return path(triples)

@@ -5,8 +5,6 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import functions as F  # noqa: F401  (parity with peers)
-
 from jsonld_spark.operators import paths
 
 
@@ -28,14 +26,15 @@ def _naive_seq(a, b):
 
 
 def _naive_closure(rel, k):
+    # independent formulation: p{1,k} = p U p^2 U ... U p^k by
+    # DEFINITION (full iterated composition, no frontier pruning or
+    # early exit — structurally unlike the implementation, so a
+    # systematic frontier-algorithm flaw cannot hide here)
     reach = set(rel)
-    frontier = set(rel)
+    power = set(rel)
     for _ in range(k - 1):
-        nxt = {(s, o2) for s, o in frontier for s2, o2 in rel if o == s2} - reach
-        if not nxt:
-            break
-        reach |= nxt
-        frontier = nxt
+        power = _naive_seq(power, rel)
+        reach |= power
     return reach
 
 

@@ -124,3 +124,27 @@ def test_graph_ops_build_lazily(spark):
     pagerank_fixedpoint(edges)
     after = len(tracker.getJobIdsForGroup() or [])
     assert after == before, "graph DataFrame construction ran Spark jobs"
+
+
+def test_path_query_plan_is_equality_joins_and_lazy(spark):
+    """The compiled property path must stay equality-join shaped (no
+    cartesian/nested-loop regression in seq/alt) and, closure aside,
+    build without running Spark jobs."""
+    from jsonld_spark.operators import paths
+    from jsonld_spark.sources.entities import VOCAB
+
+    tri = kg_triples(spark, SF)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    df = paths.evaluate(
+        tri,
+        paths.seq(
+            paths.inv(paths.pred(VOCAB + "inConversation")),
+            paths.alt(paths.pred(VOCAB + "entities"), paths.pred(VOCAB + "tool")),
+        ),
+    )
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before, "path DataFrame construction ran Spark jobs"
+    plan = physical_plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
