@@ -41,6 +41,49 @@ def _conv_resources_path(triples: "DataFrame") -> "DataFrame":
     )
 
 
+CHAIN_CELL_PREFIX = "http://kg.example/listcell/"
+CHAIN_CLOSURE_HOPS = 5
+
+
+def _chain_closure_path(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """rdf:rest{1,5} over one chain per nation, length 2..8 cells
+    (n_nationkey % 7 + 2), last cell -> rdf:nil. Exercises the bounded
+    closure combinator end-to-end: the result is every (cell_i,
+    cell_j) with 0 < j - i <= 5 plus (cell_i, nil) where the remaining
+    chain is within reach — positional arithmetic the oracle mirrors
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from jsonld_spark.kernel.rdf import RDF_NIL, RDF_REST
+    from jsonld_spark.operators import paths
+    from jsonld_spark.plans.session import read_table
+
+    nation = read_table(spark, sf_dir, "nation")
+    cells = nation.select(
+        F.col("n_nationkey").alias("k"),
+        (F.col("n_nationkey") % 7 + 2).alias("len"),
+    ).select("k", "len", F.explode(F.sequence(F.lit(0), F.col("len") - 1)).alias("i"))
+
+    def cell(i):
+        return F.concat(F.lit(CHAIN_CELL_PREFIX), F.col("k"), F.lit("/"), i)
+
+    ns = F.lit(None).cast("string")
+    quads = cells.select(
+        ns.alias("graph"),
+        cell(F.col("i")).alias("subject"),
+        F.lit(RDF_REST).alias("predicate"),
+        F.lit("iri").alias("obj_kind"),
+        F.when(F.col("i") < F.col("len") - 1, cell(F.col("i") + 1))
+        .otherwise(F.lit(RDF_NIL))
+        .alias("obj_value"),
+        ns.alias("obj_type"),
+        ns.alias("obj_lang"),
+    )
+    return paths.evaluate(
+        quads, paths.closure(paths.pred(RDF_REST), CHAIN_CLOSURE_HOPS)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: events-derived transcripts -> mention detection ->
     entity linking -> JSON-LD expansion -> node map -> toRdf ->
@@ -146,6 +189,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_conv_resources": lambda spark, sf: _conv_resources_path(
             cached_triples(spark, sf)
         ),
+        # bounded closure rdf:rest{1,5} over deterministic variable-
+        # length list chains (the kg corpus has no multi-hop chains;
+        # same nation-derived pattern as jsonld_fromrdf_lists)
+        "kg_path_chain_closure": _chain_closure_path,
         "kg_adjacency": lambda spark, sf: kg_queries.adjacency(
             spark, sf, triples=cached_triples(spark, sf)
         ),
@@ -249,6 +296,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_khop_reach": O.kg_khop_reach_sql(KHOP_SEED, k=graph.KHOP_DEFAULT_K),
         "kg_path_conv_resources": O.kg_path_conv_resources_sql(),
+        "kg_path_chain_closure": O.kg_path_chain_closure_sql(
+            CHAIN_CELL_PREFIX,
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil",
+            hops=CHAIN_CLOSURE_HOPS,
+        ),
         "kg_adjacency": O.kg_adjacency_sql(),
         "kg_adjacency_lists": O.kg_adjacency_lists_sql(),
         "kg_reverse_adjacency": O.kg_reverse_adjacency_sql(),

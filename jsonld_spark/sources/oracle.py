@@ -257,6 +257,25 @@ WHERE t1.predicate = '{V}inConversation' AND t1.obj_kind = 'iri'
     )
 
 
+def kg_path_chain_closure_sql(prefix: str, nil: str, hops: int = 5) -> str:
+    """Oracle for the bounded-closure driver query: the chain topology
+    is pure positional arithmetic, so the closure's answer is written
+    directly — (cell_i, cell_j) iff 0 < j - i <= hops, and
+    (cell_i, nil) iff the chain end is within hops (len - i <= hops) —
+    no recursion, structurally independent of the frontier algorithm."""
+    return f"""
+WITH n AS (SELECT n_nationkey AS k, n_nationkey % 7 + 2 AS len FROM nation),
+pos AS (SELECT k, len, i FROM n, UNNEST(range(0, 8)) t(i) WHERE i < len)
+SELECT '{prefix}' || k || '/' || i AS src,
+       '{prefix}' || k || '/' || j AS dst
+FROM (SELECT p1.k, p1.i, p2.i AS j
+      FROM pos p1 JOIN pos p2 ON p1.k = p2.k
+      WHERE p2.i - p1.i BETWEEN 1 AND {hops})
+UNION ALL
+SELECT '{prefix}' || k || '/' || i AS src, '{nil}' AS dst
+FROM pos WHERE len - i <= {hops}"""
+
+
 def kg_khop_reach_sql(seed: str, k: int = 4) -> str:
     """Oracle for reverse k-hop reachability: depth-bounded recursive
     CTE (UNION dedups (node, d) pairs, d <= k terminates), min-hop
