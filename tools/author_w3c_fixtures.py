@@ -633,6 +633,18 @@ FROMRDF = [
         {"useNativeTypes": True},
     ),
     (
+        "malformed native-typed literals stay typed strings",
+        # TypedValue.php:93-115: useNativeTypes converts ONLY the exact
+        # lexical forms ('true'/'false'; /^[\+|-]?\d+$/ integers) —
+        # anything else falls through and keeps its @type
+        [f'<{EX}a> <{EX}b> "TRUE"^^<{XSD}boolean> .',
+         f'<{EX}a> <{EX}i> "4a"^^<{XSD}integer> .'],
+        [{"@id": EX + "a",
+          EX + "b": [{"@type": XSD + "boolean", "@value": "TRUE"}],
+          EX + "i": [{"@type": XSD + "integer", "@value": "4a"}]}],
+        {"useNativeTypes": True},
+    ),
+    (
         "named graph quads nest under @graph",
         [f'<{EX}a> <{EX}p> "v" <{EX}g> .'],
         [{"@id": EX + "g",
@@ -1131,6 +1143,45 @@ EXPAND += [
           "@reverse": {EX + "parent": [{"@id": EX + "m", "@index": "k"}]}}],
     ),
     (
+        "empty-string @id resolves to the base itself",
+        # Processor.php:903-905: a colon-free @id resolves against the
+        # active base; RFC 3986 §5.3: the empty reference yields the
+        # base itself (minus any fragment). Explicit @base: the
+        # harness's document base is the input-file URL, so the empty
+        # reference would otherwise resolve to the (position-dependent)
+        # fixture filename.
+        {"@context": {"@base": EX + "doc"}, "@id": "", EX + "p": "v"},
+        [{"@id": EX + "doc", EX + "p": [{"@value": "v"}]}],
+    ),
+    (
+        "fragment-only @id attaches to the base",
+        {"@context": {"@base": EX + "doc"}, "@id": "#f", EX + "p": "v"},
+        [{"@id": EX + "doc#f", EX + "p": [{"@value": "v"}]}],
+    ),
+    (
+        "@type arrays expand each entry vocab-relatively in order",
+        # Processor.php:620-637: string @type expands with
+        # vocabRelative=true; array entries expand one by one,
+        # appended in document order
+        {"@context": {"@vocab": EX + "v#", "pfx": EX + "x#"},
+         "@id": EX + "n", "@type": ["T", "pfx:U", EX + "w"]},
+        [{"@id": EX + "n",
+          "@type": [EX + "v#T", EX + "x#U", EX + "w"]}],
+    ),
+    (
+        "null inside a context array resets terms AND restores the original base",
+        # Processor.php:1535-1536: a null context resets the active
+        # context to array('@base' => $this->baseIri) — the DOCUMENT
+        # base, not the @base an earlier array entry set; terms
+        # defined before the null are gone (their keys drop as
+        # unexpandable)
+        {"@context": [{"@base": EX + "alt/", "t": EX + "t"},
+                      None,
+                      {"p": EX + "p"}],
+         "@id": "rel", "p": "v", "t": "w"},
+        [{"@id": BASE + "rel", EX + "p": [{"@value": "v"}]}],
+    ),
+    (
         "@container does not chain through term-to-term aliases",
         # t2's definition is the STRING "t1": its @id chains to t1's
         # IRI (Processor.php:860-872) but @container/@type are NOT
@@ -1197,6 +1248,23 @@ TORDF += [
         "relative subject without a base emits nothing",
         {"@context": {"@base": None}, "@id": "rel", EX + "p": "v"},
         [],
+        {},
+    ),
+    (
+        "native booleans become canonical xsd:boolean literals",
+        # Value.php:96-101: is_bool -> 'true'/'false' ^^xsd:boolean
+        {"@id": EX + "n", EX + "p": True, EX + "q": False},
+        [f'<{EX}n> <{EX}p> "true"^^<{XSD}boolean> .',
+         f'<{EX}n> <{EX}q> "false"^^<{XSD}boolean> .'],
+        {},
+    ),
+    (
+        "small double keeps the canonical negative exponent",
+        # Value.php:85: %1.15E then strip <=14 trailing mantissa zeros
+        # and the '+' — PHP does NOT zero-pad exponents (unlike C), so
+        # 1e-7 prints 1.000000000000000E-7 and compresses to 1.0E-7
+        {"@id": EX + "n", EX + "p": 1e-7},
+        [f'<{EX}n> <{EX}p> "1.0E-7"^^<{XSD}double> .'],
         {},
     ),
     (
