@@ -8,6 +8,7 @@ Catalyst plans the whole navigation (join order, broadcast, AQE) and no
 per-node driver loop exists:
 
     pred(p)          one forward step over predicate p
+    nps([p1, p2])    negated property set !(p1|p2): any OTHER predicate
     inv(path)        inverse (walk backwards)
     seq(a, b, ...)   sequence: a/b
     alt(a, b, ...)   alternation: a|b
@@ -44,6 +45,22 @@ def pred(p: str):
     def rel(triples: DataFrame) -> DataFrame:
         return (
             triples.where((F.col("predicate") == p) & (F.col("obj_kind") == "iri"))
+            .select(F.col("subject").alias("src"), F.col("obj_value").alias("dst"))
+            .distinct()
+        )
+    return rel
+
+
+def nps(excluded: list[str]):
+    """Negated property set !(p1|p2|...): one forward step over ANY
+    predicate not in ``excluded`` (SPARQL 1.1 §9.1). Still a single
+    predicate-pushdown scan — the NOT IN filter reaches the triple
+    source like the positive filter does."""
+    def rel(triples: DataFrame) -> DataFrame:
+        return (
+            triples.where(
+                (~F.col("predicate").isin(excluded)) & (F.col("obj_kind") == "iri")
+            )
             .select(F.col("subject").alias("src"), F.col("obj_value").alias("dst"))
             .distinct()
         )

@@ -77,6 +77,22 @@ def test_path_algebra_random_graphs(spark):
         assert got == _naive_seq({(o, s) for s, o in p}, p | q), seed
 
 
+def test_path_negated_property_set(spark):
+    """nps([p]) steps over every predicate except p — and composes."""
+    for seed in range(3):
+        rng = random.Random(300 + seed)
+        nodes = [f"n{i}" for i in range(rng.randint(4, 12))]
+        rows = [
+            (rng.choice(nodes), rng.choice("pqr"), rng.choice(nodes))
+            for _ in range(rng.randint(5, 40))
+        ]
+        t = _triples_df(spark, rows)
+        q_or_r = _naive(rows, "q") | _naive(rows, "r")
+        assert _rows(paths.evaluate(t, paths.nps(["p"]))) == q_or_r, seed
+        got = _rows(paths.evaluate(t, paths.seq(paths.pred("p"), paths.nps(["p", "q"]))))
+        assert got == _naive_seq(_naive(rows, "p"), _naive(rows, "r")), seed
+
+
 def test_path_closure_random_graphs(spark):
     """Bounded closure p{1,k} equals the iterated naive expansion,
     including early convergence below the cap."""
