@@ -20,9 +20,17 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-# seed for the reverse k-hop reachability query: the head entity
-# (E0 carries ~44% of mentions — the skew case the BFS must survive)
-KHOP_SEED = "http://kg.example/entity/E0"
+def _khop_seed() -> str:
+    # the head entity (E0 carries ~44% of mentions — the skew case the
+    # BFS must survive); built from the shared IRI scheme so a scheme
+    # change cannot silently turn the query vacuous (seed-only row on
+    # both sides would still MATCH)
+    from jsonld_spark.sources.entities import entity_iri
+
+    return entity_iri(0)
+
+
+KHOP_SEED = _khop_seed()
 
 
 def _conv_resources_path(triples: "DataFrame") -> "DataFrame":
@@ -271,6 +279,7 @@ def oracle_sql() -> dict[str, str]:
         similarity,
         text,
     )
+    from jsonld_spark.kernel.rdf import RDF_NIL
     from jsonld_spark.operators.jsonld_ops import from_rdf_list_nodes_sql
     from jsonld_spark.sources import oracle as O
 
@@ -297,9 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_khop_reach": O.kg_khop_reach_sql(KHOP_SEED, k=graph.KHOP_DEFAULT_K),
         "kg_path_conv_resources": O.kg_path_conv_resources_sql(),
         "kg_path_chain_closure": O.kg_path_chain_closure_sql(
-            CHAIN_CELL_PREFIX,
-            "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil",
-            hops=CHAIN_CLOSURE_HOPS,
+            CHAIN_CELL_PREFIX, RDF_NIL, hops=CHAIN_CLOSURE_HOPS
         ),
         "kg_adjacency": O.kg_adjacency_sql(),
         "kg_adjacency_lists": O.kg_adjacency_lists_sql(),

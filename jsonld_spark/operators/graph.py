@@ -88,7 +88,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("deg"))
     )
     # 12 digits of degree keeps the string order == (deg, node) order
-    # up to 10^12-degree hubs (the north_rule scale)
+    # for degrees < 10^12 (lpad truncates beyond; order would stay a
+    # consistent total order on both engines, but no longer degree
+    # order, so the sqrt(m) wedge bound would soften)
     keyed = deg.select(
         "node",
         F.concat(

@@ -223,8 +223,8 @@ def kg_pagerank_sql(iterations: int = 3, scale: int = 10**9) -> str:
     sql = (
         _graph_edges_ctes()
         + f""",
-nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
 r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)"""
     )
     for i in range(1, iterations + 1):
