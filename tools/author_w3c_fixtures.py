@@ -633,6 +633,17 @@ FROMRDF = [
         {"useNativeTypes": True},
     ),
     (
+        "a subject quadded in two graphs stays two node objects",
+        # the per-graph node maps never merge a subject across graphs
+        [f'<{EX}s> <{EX}p> "in-g1" <{EX}g1> .',
+         f'<{EX}s> <{EX}q> "in-g2" <{EX}g2> .'],
+        [{"@id": EX + "g1",
+          "@graph": [{"@id": EX + "s", EX + "p": [{"@value": "in-g1"}]}]},
+         {"@id": EX + "g2",
+          "@graph": [{"@id": EX + "s", EX + "q": [{"@value": "in-g2"}]}]}],
+        {},
+    ),
+    (
         "malformed native-typed literals stay typed strings",
         # TypedValue.php:93-115: useNativeTypes converts ONLY the exact
         # lexical forms ('true'/'false'; /^[\+|-]?\d+$/ integers) —
@@ -1196,6 +1207,22 @@ EXPAND += [
 
 FLATTEN += [
     (
+        "a subject in two named graphs keeps per-graph property sets",
+        # generateNodeMap keys nodes per graph (Processor.php:1896-):
+        # the same @id in g1 and g2 yields two separate node objects,
+        # each under its own graph-name node; it does NOT merge across
+        # graphs and does NOT appear in the default graph
+        {"@graph": [
+            {"@id": EX + "g1",
+             "@graph": [{"@id": EX + "s", EX + "p": "in-g1"}]},
+            {"@id": EX + "g2",
+             "@graph": [{"@id": EX + "s", EX + "q": "in-g2"}]}]},
+        [{"@id": EX + "g1",
+          "@graph": [{"@id": EX + "s", EX + "p": [{"@value": "in-g1"}]}]},
+         {"@id": EX + "g2",
+          "@graph": [{"@id": EX + "s", EX + "q": [{"@value": "in-g2"}]}]}],
+    ),
+    (
         "nested named graphs hoist to top-level graph-name nodes",
         {"@id": EX + "g1",
          "@graph": [{"@id": EX + "g2",
@@ -1383,6 +1410,27 @@ FROMRDF += [
 ]
 
 COMPACT += [
+    (
+        "CURIE beats base-relativization for @id values (bug-compat)",
+        # Processor.php:1238-1256: the compact-IRI loop runs BEFORE the
+        # 'last resort' base relativization, so with both a matching
+        # prefix term and an identical @base, the CURIE wins
+        [{"@id": EX + "doc/item", EX + "p": [{"@id": EX + "doc/other"}]}],
+        {"d": EX + "doc/", "@base": EX + "doc/",
+         "p": {"@id": EX + "p", "@type": "@id"}},
+        {"@context": {"d": EX + "doc/", "@base": EX + "doc/",
+                      "p": {"@id": EX + "p", "@type": "@id"}},
+         "@id": "d:item", "p": "d:other"},
+        {},
+    ),
+    (
+        "multiple @type values compact to an array of terms",
+        [{"@id": EX + "a", "@type": [EX + "T1", EX + "T2"]}],
+        {"T1": EX + "T1", "T2": EX + "T2"},
+        {"@context": {"T1": EX + "T1", "T2": EX + "T2"},
+         "@id": EX + "a", "@type": ["T1", "T2"]},
+        {},
+    ),
     (
         "@index container regroups into an index map",
         [{"@id": EX + "n",
