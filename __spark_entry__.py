@@ -51,6 +51,20 @@ def _conv_resources_path(triples: "DataFrame") -> "DataFrame":
 
 CHAIN_CELL_PREFIX = "http://kg.example/listcell/"
 CHAIN_CLOSURE_HOPS = 5
+RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _nonlink_predicates() -> list[str]:
+    from jsonld_spark.sources.entities import VOCAB
+
+    return [VOCAB + "mentions", VOCAB + "entities", VOCAB + "target", RDF_TYPE_IRI]
+
+
+def _nonlink_edges_path(triples: "DataFrame") -> "DataFrame":
+    """!(mentions|entities|target|rdf:type) via the path compiler."""
+    from jsonld_spark.operators import paths
+
+    return paths.evaluate(triples, paths.nps(_nonlink_predicates()))
 
 
 def _chain_closure_path(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -201,6 +215,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # length list chains (the kg corpus has no multi-hop chains;
         # same nation-derived pattern as jsonld_fromrdf_lists)
         "kg_path_chain_closure": _chain_closure_path,
+        # negated property set: every structural edge EXCEPT the
+        # mention/linking predicates — the turn->conv / turn->tool
+        # skeleton falls out of !(mentions|entities|target|rdf:type)
+        "kg_path_nonlink_edges": lambda spark, sf: _nonlink_edges_path(
+            cached_triples(spark, sf)
+        ),
         "kg_adjacency": lambda spark, sf: kg_queries.adjacency(
             spark, sf, triples=cached_triples(spark, sf)
         ),
@@ -308,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_chain_closure": O.kg_path_chain_closure_sql(
             CHAIN_CELL_PREFIX, RDF_NIL, hops=CHAIN_CLOSURE_HOPS
         ),
+        "kg_path_nonlink_edges": O.kg_path_nps_sql(_nonlink_predicates()),
         "kg_adjacency": O.kg_adjacency_sql(),
         "kg_adjacency_lists": O.kg_adjacency_lists_sql(),
         "kg_reverse_adjacency": O.kg_reverse_adjacency_sql(),

@@ -276,6 +276,21 @@ SELECT '{prefix}' || k || '/' || i AS src, '{nil}' AS dst
 FROM pos WHERE len - i <= {hops}"""
 
 
+def kg_path_nps_sql(excluded: list[str]) -> str:
+    """Oracle for a negated-property-set step: one predicate NOT IN
+    filter over the IRI edges of the triple table."""
+    quoted = ", ".join("'" + p.replace("'", "''") + "'" for p in excluded)
+    return (
+        base_ctes()
+        + ",\ntri AS ("
+        + triples_select()
+        + f""")
+SELECT DISTINCT subject AS src, obj_value AS dst
+FROM tri
+WHERE obj_kind = 'iri' AND predicate NOT IN ({quoted})"""
+    )
+
+
 def kg_khop_reach_sql(seed: str, k: int = 4) -> str:
     """Oracle for reverse k-hop reachability: depth-bounded recursive
     CTE (UNION dedups (node, d) pairs, d <= k terminates), min-hop
