@@ -175,6 +175,18 @@ def test_khop_distances_random_graphs(spark):
             assert got == _naive_khop(edges, seed_node, k), (seed, k)
 
 
+def test_graph_ops_on_empty_edge_sets(spark):
+    """All three operators handle a zero-edge graph: empty results
+    (pagerank/triangles) or seeds-only (khop) — no ANSI errors from
+    aggregates/joins over empty inputs."""
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert triangle_counts(empty).count() == 0
+    assert pagerank_fixedpoint(empty).count() == 0
+    seeds = spark.createDataFrame([("z",)], "node string")
+    got = khop_distances(empty, seeds, k=3).collect()
+    assert [(r["node"], r["dist"]) for r in got] == [("z", 0)]
+
+
 def test_khop_early_exit_isolated_seed(spark):
     """A seed with no in-edges returns just itself at distance 0 (the
     frontier empties on round 1 and the loop exits)."""
