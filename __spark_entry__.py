@@ -15,6 +15,7 @@ import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
@@ -200,6 +201,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             iterations=graph.PR_ITERATIONS,
             scale=graph.PR_SCALE,
         ),
+        # personalized PageRank over REVERSED edges from the head
+        # entity: provenance importance ("what feeds E0, how directly")
+        "kg_ppr_provenance": lambda spark, sf: graph.personalized_pagerank_fixedpoint(
+            cached_edges(spark, sf).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ),
+            spark.createDataFrame([(KHOP_SEED,)], "node string"),
+            iterations=graph.PR_ITERATIONS,
+            scale=graph.PR_SCALE,
+        ),
         "kg_khop_reach": lambda spark, sf: graph.khop_distances(
             cached_edges(spark, sf),
             spark.createDataFrame([(KHOP_SEED,)], "node string"),
@@ -324,6 +335,9 @@ def oracle_sql() -> dict[str, str]:
             iterations=graph.PR_ITERATIONS, scale=graph.PR_SCALE
         ),
         "kg_khop_reach": O.kg_khop_reach_sql(KHOP_SEED, k=graph.KHOP_DEFAULT_K),
+        "kg_ppr_provenance": O.kg_ppr_sql(
+            KHOP_SEED, iterations=graph.PR_ITERATIONS, scale=graph.PR_SCALE
+        ),
         "kg_path_conv_resources": O.kg_path_conv_resources_sql(),
         "kg_path_chain_closure": O.kg_path_chain_closure_sql(
             CHAIN_CELL_PREFIX, RDF_NIL, hops=CHAIN_CLOSURE_HOPS

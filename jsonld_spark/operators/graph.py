@@ -207,6 +207,60 @@ def pagerank_fixedpoint(
     return ranks
 
 
+def personalized_pagerank_fixedpoint(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = PR_ITERATIONS,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Personalized PageRank in the same fixed-point integer arithmetic
+    as pagerank_fixedpoint: initial mass AND the teleport term live
+    only on the ``seeds`` (node) set, so rank measures importance
+    RELATIVE to the seeds — run over reversed edges this is provenance
+    weighting ("what feeds these entities, and how directly").
+    Returns only nodes with rank_fp > 0 (mass reaches at most
+    ``iterations`` hops from a seed). Seeds absent from the graph's
+    node set carry no mass (no edges to spread it). Same overflow
+    contract as pagerank_fixedpoint; mass here is seed-count-bounded,
+    so 85 * n_seeds * scale < 2^63 suffices."""
+    e = edges if edges.is_cached else edges.cache()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    esrc = e.join(outdeg, "src").cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    marked = nodes.join(
+        seeds.select("node", F.lit(1).alias("_s")).distinct(), "node", "left"
+    ).select("node", F.coalesce(F.col("_s"), F.lit(0)).alias("is_seed")).cache()
+    base = scale * 15 // 100
+    ranks = marked.select(
+        "node", (F.col("is_seed") * scale).cast("long").alias("rank_fp")
+    )
+    for _ in range(iterations):
+        contrib = (
+            esrc.join(
+                ranks.where(F.col("rank_fp") > 0).select(
+                    F.col("node").alias("src"), "rank_fp"
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank_fp * 85) div (100 * outdeg)").alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = marked.join(summed, "node", "left").select(
+            "node",
+            (F.col("is_seed") * base + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("rank_fp"),
+        )
+    return ranks.where(F.col("rank_fp") > 0)
+
+
 def khop_distances(
     edges: DataFrame, seeds: DataFrame, k: int = KHOP_DEFAULT_K, reverse: bool = True
 ) -> DataFrame:

@@ -276,6 +276,38 @@ SELECT '{prefix}' || k || '/' || i AS src, '{nil}' AS dst
 FROM pos WHERE len - i <= {hops}"""
 
 
+def kg_ppr_sql(seed: str, iterations: int = 3, scale: int = 10**9,
+               reverse: bool = True) -> str:
+    """Oracle for personalized PageRank: same unrolled integer
+    recurrence as kg_pagerank_sql, but initial mass and teleport only
+    on the seed node, edges optionally reversed (provenance
+    direction), and only rank > 0 rows returned."""
+    seed = seed.replace("'", "''")
+    base = scale * 15 // 100
+    flip = "SELECT dst AS src, src AS dst FROM edges" if reverse else "SELECT src, dst FROM edges"
+    sql = (
+        _graph_edges_ctes()
+        + f""",
+pe AS MATERIALIZED ({flip}),
+nodes AS MATERIALIZED (SELECT src AS node FROM pe UNION SELECT dst FROM pe),
+outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM pe GROUP BY src),
+r0 AS (SELECT node, CAST(CASE WHEN node = '{seed}' THEN {scale} ELSE 0 END AS BIGINT) AS r FROM nodes)"""
+    )
+    for i in range(1, iterations + 1):
+        sql += f""",
+c{i} AS (
+  SELECT e.dst AS node, SUM((r.r * 85) // (100 * o.d)) AS s
+  FROM pe e JOIN outdeg o ON o.src = e.src JOIN r{i - 1} r ON r.node = e.src
+  WHERE r.r > 0
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node = '{seed}' THEN {base} ELSE 0 END
+              + COALESCE(c{i}.s, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node)"""
+    return sql + f"\nSELECT node, r AS rank_fp FROM r{iterations} WHERE r > 0"
+
+
 def kg_path_nps_sql(excluded: list[str]) -> str:
     """Oracle for a negated-property-set step: one predicate NOT IN
     filter over the IRI edges of the triple table."""

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F  # noqa: F401  (parity with peers)
 from jsonld_spark.operators.graph import (
     khop_distances,
     pagerank_fixedpoint,
+    personalized_pagerank_fixedpoint,
     pr_scale_for,
     triangle_counts,
 )
@@ -156,6 +157,41 @@ def test_pagerank_scale_parameter_consistency(spark):
         for r in pagerank_fixedpoint(_edges_df(spark, edges), scale=10**5).collect()
     }
     assert got == _naive_pagerank(edges, scale=10**5)
+
+
+def _naive_ppr(edges, seed_set, iterations=3, scale=10**9):
+    nodes = sorted({v for e in edges for v in e})
+    outdeg: dict[str, int] = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    base = scale * 15 // 100
+    r = {n: (scale if n in seed_set else 0) for n in nodes}
+    for _ in range(iterations):
+        nxt = {n: (base if n in seed_set else 0) for n in nodes}
+        for a, b in edges:
+            nxt[b] += (r[a] * 85) // (100 * outdeg[a])
+        r = nxt
+    return {n: v for n, v in r.items() if v > 0}
+
+
+def test_personalized_pagerank_random_graphs(spark):
+    """Seed-restricted teleport matches the sequential recurrence,
+    including a seed that is absent from the graph (no mass)."""
+    for seed in range(4):
+        rng = random.Random(400 + seed)
+        edges = _random_edges(rng, rng.randint(5, 18), rng.randint(8, 45))
+        if not edges:
+            continue
+        nodes = sorted({v for e in edges for v in e})
+        seed_nodes = [nodes[0], nodes[-1], "not-in-graph"]
+        seeds = spark.createDataFrame([(s,) for s in seed_nodes], "node string")
+        got = {
+            r["node"]: r["rank_fp"]
+            for r in personalized_pagerank_fixedpoint(
+                _edges_df(spark, edges), seeds
+            ).collect()
+        }
+        assert got == _naive_ppr(edges, set(seed_nodes)), seed
 
 
 def test_khop_distances_random_graphs(spark):
