@@ -95,11 +95,17 @@ def test_graph_plans_have_no_cartesian_products(spark):
     from jsonld_spark.operators.graph import (
         iri_edges,
         pagerank_fixedpoint,
+        personalized_pagerank_fixedpoint,
         triangle_counts,
     )
 
     edges = iri_edges(kg_triples(spark, SF))
-    for df in (triangle_counts(edges), pagerank_fixedpoint(edges)):
+    seeds = spark.createDataFrame([("http://kg.example/entity/E0",)], "node string")
+    for df in (
+        triangle_counts(edges),
+        pagerank_fixedpoint(edges),
+        personalized_pagerank_fixedpoint(edges, seeds),
+    ):
         plan = physical_plan_of(df)
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
