@@ -204,12 +204,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # personalized PageRank over REVERSED edges from the head
         # entity: provenance importance ("what feeds E0, how directly")
         "kg_ppr_provenance": lambda spark, sf: graph.personalized_pagerank_fixedpoint(
-            cached_edges(spark, sf).select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            ),
+            cached_edges(spark, sf),
             spark.createDataFrame([(KHOP_SEED,)], "node string"),
             iterations=graph.PR_ITERATIONS,
             scale=graph.PR_SCALE,
+            reverse=True,
         ),
         "kg_khop_reach": lambda spark, sf: graph.khop_distances(
             cached_edges(spark, sf),

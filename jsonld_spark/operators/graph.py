@@ -25,12 +25,16 @@ adjacency sink materializes:
   Variant documented precisely: r0 = S; r_{k+1}(v) = floor(S*15/100)
   + sum over in-edges (u,v) of floor(r_k(u)*85 / (100*outdeg(u)));
   dangling mass is dropped (not redistributed).
+- ``personalized_pagerank_fixedpoint``: the same recurrence (shared
+  core) with initial mass and teleport restricted to a seed set, and
+  optional edge reversal — seed-relative importance / provenance
+  weighting. Only rank > 0 nodes are returned.
 - ``khop_distances``: bounded-depth BFS (min-hop distance from a seed
   set), frontier-at-a-time — each round touches only edges incident
   to the new frontier, the standard iterative shape for "who reaches
   entity X within K hops" provenance queries.
 
-All three are plain DataFrame joins/aggregations (no Python UDFs);
+All of these are plain DataFrame joins/aggregations (no Python UDFs);
 iterative loops localCheckpoint() per round so lineage stays flat (at
 cluster scale these become reliable checkpoint()s, same as
 operators/components.py).
@@ -176,35 +180,7 @@ def pagerank_fixedpoint(
     ``edges`` is reused as-is (the driver shares one edge cache across
     the graph queries). At cluster scale with large K, swap in
     reliable df.checkpoint()s for fault tolerance."""
-    e = edges if edges.is_cached else edges.cache()
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # both consumed every round: cache once
-    esrc = e.join(outdeg, "src").cache()  # (src, dst, outdeg)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .cache()
-    )
-    base = scale * 15 // 100
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_fp"))
-    for i in range(iterations):
-        contrib = esrc.join(
-            ranks.select(F.col("node").alias("src"), "rank_fp"), "src"
-        ).select(
-            F.col("dst").alias("node"),
-            F.expr("(rank_fp * 85) div (100 * outdeg)").alias("c"),
-        )
-        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = nodes.join(summed, "node", "left").select(
-            "node",
-            (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
-            .cast("long")
-            .alias("rank_fp"),
-        )
-        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
-            ranks = ranks.localCheckpoint()
-    return ranks
+    return _pagerank_core(edges, None, iterations, scale, checkpoint_every, False)
 
 
 def personalized_pagerank_fixedpoint(
@@ -212,44 +188,66 @@ def personalized_pagerank_fixedpoint(
     seeds: DataFrame,
     iterations: int = PR_ITERATIONS,
     scale: int = PR_SCALE,
+    checkpoint_every: int = 8,
+    reverse: bool = False,
 ) -> DataFrame:
-    """Personalized PageRank in the same fixed-point integer arithmetic
-    as pagerank_fixedpoint: initial mass AND the teleport term live
-    only on the ``seeds`` (node) set, so rank measures importance
-    RELATIVE to the seeds — run over reversed edges this is provenance
-    weighting ("what feeds these entities, and how directly").
-    Returns only nodes with rank_fp > 0 (mass reaches at most
-    ``iterations`` hops from a seed). Seeds absent from the graph's
-    node set carry no mass (no edges to spread it). Same overflow
-    contract as pagerank_fixedpoint; mass here is seed-count-bounded,
-    so 85 * n_seeds * scale < 2^63 suffices."""
-    e = edges if edges.is_cached else edges.cache()
+    """Personalized PageRank — the same fixed-point recurrence as
+    pagerank_fixedpoint (shared core), except initial mass AND the
+    teleport term live only on the ``seeds`` (node) set, so rank
+    measures importance RELATIVE to the seeds. ``reverse=True`` walks
+    edges backwards (like khop_distances) — provenance weighting:
+    "what feeds these entities, and how directly". Returns only nodes
+    with rank_fp > 0 (mass reaches at most ``iterations`` hops from a
+    seed). Seeds absent from the graph's node set carry no mass. Same
+    overflow contract; mass here is seed-count-bounded, so
+    85 * n_seeds * scale < 2^63 suffices."""
+    return _pagerank_core(edges, seeds, iterations, scale, checkpoint_every, reverse)
+
+
+def _pagerank_core(
+    edges: DataFrame,
+    seeds: DataFrame | None,
+    iterations: int,
+    scale: int,
+    checkpoint_every: int,
+    reverse: bool,
+) -> DataFrame:
+    """One recurrence, both variants: uniform (seeds=None) or
+    seed-restricted teleport — a single copy keeps the two engines'
+    bit-identical property maintained in one place."""
+    base_edges = edges if edges.is_cached else edges.cache()
+    # a reversal is a projection over the (cached) base — re-deriving
+    # it per consumer is a cache scan, cheaper than a second edge cache
+    e = (
+        base_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        if reverse
+        else base_edges
+    )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    esrc = e.join(outdeg, "src").cache()
+    # both consumed every round: cache once
+    esrc = e.join(outdeg, "src").cache()  # (src, dst, outdeg)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    marked = nodes.join(
-        seeds.select("node", F.lit(1).alias("_s")).distinct(), "node", "left"
-    ).select("node", F.coalesce(F.col("_s"), F.lit(0)).alias("is_seed")).cache()
     base = scale * 15 // 100
+    if seeds is None:
+        marked = nodes.select("node", F.lit(1).alias("is_seed")).cache()
+    else:
+        marked = nodes.join(
+            seeds.select("node", F.lit(1).alias("_s")).distinct(), "node", "left"
+        ).select("node", F.coalesce(F.col("_s"), F.lit(0)).alias("is_seed")).cache()
     ranks = marked.select(
         "node", (F.col("is_seed") * scale).cast("long").alias("rank_fp")
     )
-    for _ in range(iterations):
-        contrib = (
-            esrc.join(
-                ranks.where(F.col("rank_fp") > 0).select(
-                    F.col("node").alias("src"), "rank_fp"
-                ),
-                "src",
-            )
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("(rank_fp * 85) div (100 * outdeg)").alias("c"),
-            )
+    for i in range(iterations):
+        live = ranks if seeds is None else ranks.where(F.col("rank_fp") > 0)
+        contrib = esrc.join(
+            live.select(F.col("node").alias("src"), "rank_fp"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("(rank_fp * 85) div (100 * outdeg)").alias("c"),
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = marked.join(summed, "node", "left").select(
@@ -258,7 +256,9 @@ def personalized_pagerank_fixedpoint(
             .cast("long")
             .alias("rank_fp"),
         )
-    return ranks.where(F.col("rank_fp") > 0)
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks if seeds is None else ranks.where(F.col("rank_fp") > 0)
 
 
 def khop_distances(
