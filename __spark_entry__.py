@@ -52,6 +52,7 @@ def _conv_resources_path(triples: "DataFrame") -> "DataFrame":
 
 CHAIN_CELL_PREFIX = "http://kg.example/listcell/"
 CHAIN_CLOSURE_HOPS = 5
+NEIGHBOR_SAMPLE_K = 8
 RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
@@ -221,6 +222,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_conv_resources": lambda spark, sf: _conv_resources_path(
             cached_triples(spark, sf)
         ),
+        # training-data sampling + corpus statistics over the graph
+        "kg_neighbor_sample": lambda spark, sf: graph.neighbor_sample(
+            cached_edges(spark, sf), k=NEIGHBOR_SAMPLE_K
+        ),
+        "kg_degree_histogram": lambda spark, sf: graph.degree_histogram(
+            cached_edges(spark, sf)
+        ),
         # bounded closure rdf:rest{1,5} over deterministic variable-
         # length list chains (the kg corpus has no multi-hop chains;
         # same nation-derived pattern as jsonld_fromrdf_lists)
@@ -342,6 +350,8 @@ def oracle_sql() -> dict[str, str]:
             CHAIN_CELL_PREFIX, RDF_NIL, hops=CHAIN_CLOSURE_HOPS
         ),
         "kg_path_nonlink_edges": O.kg_path_nps_sql(_nonlink_predicates()),
+        "kg_neighbor_sample": O.kg_neighbor_sample_sql(NEIGHBOR_SAMPLE_K),
+        "kg_degree_histogram": O.kg_degree_histogram_sql(),
         "kg_adjacency": O.kg_adjacency_sql(),
         "kg_adjacency_lists": O.kg_adjacency_lists_sql(),
         "kg_reverse_adjacency": O.kg_reverse_adjacency_sql(),

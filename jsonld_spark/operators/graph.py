@@ -261,6 +261,41 @@ def _pagerank_core(
     return ranks if seeds is None else ranks.where(F.col("rank_fp") > 0)
 
 
+def neighbor_sample(edges: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-node neighborhood sample: the lexicographically
+    first ``k`` out-neighbors, joined as one string column — the
+    subgraph-sampling primitive a GraphRAG-style training pipeline
+    needs, made deterministic (sorted prefix, not random) so the result
+    is reproducible across runs/engines and exactly oracle-checkable.
+    Returns (node, n_neighbors, sample). One hash aggregation: the
+    per-node neighbor list is bounded by the node's out-degree, and the
+    SAMPLE is bounded by k — downstream consumers never see the full
+    hub fan-out."""
+    return (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(
+            F.count("*").alias("n_neighbors"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("dst")), 1, k), "|"
+            ).alias("sample"),
+        )
+    )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """(degree, n_nodes): distribution of TOTAL degree (in + out) over
+    the directed edge set — the first thing to look at before choosing
+    join/skew strategy on a new corpus. Two aggregations, both with
+    map-side partial combine."""
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
 def khop_distances(
     edges: DataFrame, seeds: DataFrame, k: int = KHOP_DEFAULT_K, reverse: bool = True
 ) -> DataFrame:

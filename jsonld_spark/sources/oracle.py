@@ -308,6 +308,30 @@ r{i} AS (
     return sql + f"\nSELECT node, r AS rank_fp FROM r{iterations} WHERE r > 0"
 
 
+def kg_neighbor_sample_sql(k: int) -> str:
+    """Oracle for the deterministic neighborhood sample: DuckDB's
+    ordered list aggregate + list_slice mirror array_sort + slice."""
+    return (
+        _graph_edges_ctes()
+        + f"""
+SELECT src AS node, COUNT(*) AS n_neighbors,
+       array_to_string(list_slice(list(dst ORDER BY dst), 1, {k}), '|') AS sample
+FROM edges GROUP BY src"""
+    )
+
+
+def kg_degree_histogram_sql() -> str:
+    return (
+        _graph_edges_ctes()
+        + """,
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+  GROUP BY node)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree"""
+    )
+
+
 def kg_path_nps_sql(excluded: list[str]) -> str:
     """Oracle for a negated-property-set step: one predicate NOT IN
     filter over the IRI edges of the triple table."""

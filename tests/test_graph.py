@@ -16,7 +16,9 @@ import random
 from pyspark.sql import functions as F  # noqa: F401  (parity with peers)
 
 from jsonld_spark.operators.graph import (
+    degree_histogram,
     khop_distances,
+    neighbor_sample,
     pagerank_fixedpoint,
     personalized_pagerank_fixedpoint,
     pr_scale_for,
@@ -209,6 +211,39 @@ def test_khop_distances_random_graphs(spark):
                 for r in khop_distances(_edges_df(spark, edges), seeds, k=k).collect()
             }
             assert got == _naive_khop(edges, seed_node, k), (seed, k)
+
+
+def test_neighbor_sample_and_degree_histogram_random_graphs(spark):
+    """The deterministic sample is the sorted k-prefix of each node's
+    out-neighbors; the histogram counts nodes per total degree."""
+    for seed in range(3):
+        rng = random.Random(500 + seed)
+        edges = _random_edges(rng, rng.randint(4, 15), rng.randint(5, 40))
+        if not edges:
+            continue
+        out: dict[str, list] = {}
+        deg: dict[str, int] = {}
+        for a, b in edges:
+            out.setdefault(a, []).append(b)
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        k = rng.choice([1, 3, 8])
+        got = {
+            r["node"]: (r["n_neighbors"], r["sample"])
+            for r in neighbor_sample(_edges_df(spark, edges), k=k).collect()
+        }
+        want = {
+            n: (len(ns), "|".join(sorted(ns)[:k])) for n, ns in out.items()
+        }
+        assert got == want, (seed, k)
+        hist: dict[int, int] = {}
+        for d in deg.values():
+            hist[d] = hist.get(d, 0) + 1
+        got_h = {
+            r["degree"]: r["n_nodes"]
+            for r in degree_histogram(_edges_df(spark, edges)).collect()
+        }
+        assert got_h == hist, seed
 
 
 def test_graph_ops_on_empty_edge_sets(spark):
