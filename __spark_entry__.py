@@ -53,6 +53,7 @@ def _conv_resources_path(triples: "DataFrame") -> "DataFrame":
 CHAIN_CELL_PREFIX = "http://kg.example/listcell/"
 CHAIN_CLOSURE_HOPS = 5
 NEIGHBOR_SAMPLE_K = 8
+EGO_K = 2
 RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
@@ -223,6 +224,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             cached_triples(spark, sf)
         ),
         # training-data sampling + corpus statistics over the graph
+        "kg_ego_subgraph": lambda spark, sf: graph.ego_subgraph(
+            cached_edges(spark, sf),
+            spark.createDataFrame([(KHOP_SEED,)], "node string"),
+            k=EGO_K,
+        ),
         "kg_neighbor_sample": lambda spark, sf: graph.neighbor_sample(
             cached_edges(spark, sf), k=NEIGHBOR_SAMPLE_K
         ),
@@ -350,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
             CHAIN_CELL_PREFIX, RDF_NIL, hops=CHAIN_CLOSURE_HOPS
         ),
         "kg_path_nonlink_edges": O.kg_path_nps_sql(_nonlink_predicates()),
+        "kg_ego_subgraph": O.kg_ego_subgraph_sql(KHOP_SEED, k=EGO_K),
         "kg_neighbor_sample": O.kg_neighbor_sample_sql(NEIGHBOR_SAMPLE_K),
         "kg_degree_histogram": O.kg_degree_histogram_sql(),
         "kg_adjacency": O.kg_adjacency_sql(),

@@ -261,6 +261,24 @@ def _pagerank_core(
     return ranks if seeds is None else ranks.where(F.col("rank_fp") > 0)
 
 
+def ego_subgraph(
+    edges: DataFrame, seeds: DataFrame, k: int, reverse: bool = True
+) -> DataFrame:
+    """Edges whose BOTH endpoints lie within ``k`` hops of the seed
+    set — the training-subgraph extraction primitive (GraphRAG /
+    GNN-style ego networks around an entity). Composition of existing
+    operators: khop_distances finds the node ball, two left-semi joins
+    cut the edge set down to it (semi-joins never widen rows, so the
+    output is bounded by the ball's induced edges, not the corpus).
+    Executes the BFS at call time (see khop_distances)."""
+    ball = khop_distances(edges, seeds, k=k, reverse=reverse).select("node")
+    return (
+        edges.join(ball.select(F.col("node").alias("src")), "src", "left_semi")
+        .join(ball.select(F.col("node").alias("dst")), "dst", "left_semi")
+        .select("src", "dst")
+    )
+
+
 def neighbor_sample(edges: DataFrame, k: int) -> DataFrame:
     """Deterministic per-node neighborhood sample: the lexicographically
     first ``k`` out-neighbors, joined as one string column — the

@@ -308,6 +308,24 @@ r{i} AS (
     return sql + f"\nSELECT node, r AS rank_fp FROM r{iterations} WHERE r > 0"
 
 
+def kg_ego_subgraph_sql(seed: str, k: int) -> str:
+    """Oracle for the ego subgraph: the k-hop reverse ball as a
+    recursive CTE, then edges with both endpoints inside it."""
+    seed = seed.replace("'", "''")
+    return (
+        _graph_edges_ctes(recursive=True)
+        + f""",
+reach(node, d) AS (
+  SELECT '{seed}', 0
+  UNION
+  SELECT e.src, r.d + 1 FROM reach r JOIN edges e ON e.dst = r.node
+  WHERE r.d < {k}),
+ball AS (SELECT DISTINCT node FROM reach)
+SELECT src, dst FROM edges
+WHERE src IN (SELECT node FROM ball) AND dst IN (SELECT node FROM ball)"""
+    )
+
+
 def kg_neighbor_sample_sql(k: int) -> str:
     """Oracle for the deterministic neighborhood sample: DuckDB's
     ordered list aggregate + list_slice mirror array_sort + slice."""

@@ -213,6 +213,28 @@ def test_khop_distances_random_graphs(spark):
             assert got == _naive_khop(edges, seed_node, k), (seed, k)
 
 
+def test_ego_subgraph_random_graphs(spark):
+    """The induced edge set of the k-hop reverse ball matches the
+    naive ball-then-filter computation."""
+    from jsonld_spark.operators.graph import ego_subgraph
+
+    for seed in range(3):
+        rng = random.Random(600 + seed)
+        edges = _random_edges(rng, rng.randint(5, 18), rng.randint(8, 50))
+        if not edges:
+            continue
+        seed_node = edges[0][1]
+        for k in (1, 2):
+            ball = set(_naive_khop(edges, seed_node, k))
+            want = {(a, b) for a, b in edges if a in ball and b in ball}
+            seeds = spark.createDataFrame([(seed_node,)], "node string")
+            got = {
+                (r["src"], r["dst"])
+                for r in ego_subgraph(_edges_df(spark, edges), seeds, k=k).collect()
+            }
+            assert got == want, (seed, k)
+
+
 def test_neighbor_sample_and_degree_histogram_random_graphs(spark):
     """The deterministic sample is the sorted k-prefix of each node's
     out-neighbors; the histogram counts nodes per total degree."""
