@@ -174,6 +174,65 @@ def main() -> None:
         }))
         return
 
+    if "--graph" in sys.argv:
+        # Reproducible graph-analytics timings over the IRI-edge
+        # projection at $SPARK_GRAFT_SF_DIR, optionally replicated
+        # (SPARK_GRAFT_GRAPH_REPLICAS) — the source of the
+        # BENCH/BASELINE.md "Graph analytics" volume numbers.
+        from pyspark.sql import functions as F
+
+        from jsonld_spark.operators import graph
+        from jsonld_spark.operators.kg_pipeline import (
+            kg_triples,
+            transcripts_to_triples,
+        )
+        from jsonld_spark.sources.transcripts import transcripts_from_events
+
+        replicas = int(os.environ.get("SPARK_GRAFT_GRAPH_REPLICAS", "1"))
+        spark = build_session(CPUS)
+        if replicas > 1:
+            base = transcripts_from_events(spark, SF_DIR)
+            n_rows = base.count() * replicas
+            scaled = base.crossJoin(
+                spark.range(replicas).select(F.col("id").alias("replica"))
+            ).withColumn(
+                "conv_id", F.concat_ws("-", "conv_id", "replica")
+            ).drop("replica")
+            tri = transcripts_to_triples(scaled, n_rows=n_rows).cache()
+        else:
+            tri = kg_triples(spark, SF_DIR).cache()
+        tri.count()  # build the triple cache outside the timed section
+        edges = graph.iri_edges(tri).cache()
+        t0 = time.time()
+        n_edges = edges.count()
+        timings = {"edges_sec": round(time.time() - t0, 3)}
+        seeds = spark.createDataFrame(
+            [("http://kg.example/entity/E0",)], "node string"
+        )
+        runs = {
+            "pagerank": lambda: graph.pagerank_fixedpoint(edges).count(),
+            "ppr_provenance": lambda: graph.personalized_pagerank_fixedpoint(
+                edges, seeds, reverse=True
+            ).count(),
+            "triangles": lambda: graph.triangle_counts(edges).count(),
+            "khop": lambda: graph.khop_distances(edges, seeds).count(),
+            "neighbor_sample": lambda: graph.neighbor_sample(edges, 8).count(),
+            "ego_subgraph": lambda: graph.ego_subgraph(edges, seeds, 2).count(),
+        }
+        rows = {}
+        for name, fn in runs.items():
+            t0 = time.time()
+            rows[name] = fn()
+            timings[f"{name}_sec"] = round(time.time() - t0, 3)
+        print(json.dumps({
+            "metric": "graph_analytics_sec",
+            "value": round(sum(v for k, v in timings.items() if k != "edges_sec"), 3),
+            "unit": "sec",
+            "edges": n_edges, "rows": rows, "timings": timings,
+            "replicas": replicas, "sf": sf, "cores": CPUS,
+        }))
+        return
+
     if "--skew" in sys.argv:
         # The entity dictionary join has designed-in skew (E0 = ~44% of
         # mentions). The production path broadcasts the tiny dictionary;
