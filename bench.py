@@ -15,6 +15,9 @@ Extra modes:
                               # disabled (the dictionary-outgrew-
                               # broadcast scenario; north_rule salting
                               # evidence for BENCH/BASELINE.md)
+  python bench.py --graph     # graph-analytics family timings over
+                              # the IRI-edge projection; replicate the
+                              # corpus with SPARK_GRAFT_GRAPH_REPLICAS
 """
 
 from __future__ import annotations
@@ -86,17 +89,15 @@ def build_session(cores: int):
     )
 
 
-def timed_replicated_pipeline(spark, replicas: int) -> tuple[int, float]:
-    """Warm up, replicate the corpus ``replicas``x (distinct conv ids
-    per replica), run the FULL pipeline, and return (triples, seconds)
-    for the timed count. Shared by --scaling and --stress so the two
-    modes measure the exact same job."""
+def replicated_transcripts(spark, replicas: int):
+    """(df, n_rows): the SF_DIR transcript corpus replicated
+    ``replicas``x with distinct conv ids per replica — the ONE copy of
+    the replication recipe shared by --scaling, --stress and --graph
+    (diverging copies would make their numbers non-comparable)."""
     from pyspark.sql import functions as F
 
-    from jsonld_spark.operators.kg_pipeline import kg_triples, transcripts_to_triples
     from jsonld_spark.sources.transcripts import transcripts_from_events
 
-    kg_triples(spark, "/root/testdata/sf0.001").count()  # warm-up
     base = transcripts_from_events(spark, SF_DIR)
     n_rows = base.count() * replicas
     scaled = base.crossJoin(
@@ -104,6 +105,17 @@ def timed_replicated_pipeline(spark, replicas: int) -> tuple[int, float]:
     ).withColumn(
         "conv_id", F.concat_ws("-", "conv_id", "replica")
     ).drop("replica")
+    return scaled, n_rows
+
+
+def timed_replicated_pipeline(spark, replicas: int) -> tuple[int, float]:
+    """Warm up, replicate the corpus, run the FULL pipeline, and
+    return (triples, seconds) for the timed count. Shared by --scaling
+    and --stress so the two modes measure the exact same job."""
+    from jsonld_spark.operators.kg_pipeline import kg_triples, transcripts_to_triples
+
+    kg_triples(spark, "/root/testdata/sf0.001").count()  # warm-up
+    scaled, n_rows = replicated_transcripts(spark, replicas)
     df = transcripts_to_triples(scaled, n_rows=n_rows)
     t0 = time.time()
     n = df.count()
@@ -179,25 +191,16 @@ def main() -> None:
         # projection at $SPARK_GRAFT_SF_DIR, optionally replicated
         # (SPARK_GRAFT_GRAPH_REPLICAS) — the source of the
         # BENCH/BASELINE.md "Graph analytics" volume numbers.
-        from pyspark.sql import functions as F
-
         from jsonld_spark.operators import graph
         from jsonld_spark.operators.kg_pipeline import (
             kg_triples,
             transcripts_to_triples,
         )
-        from jsonld_spark.sources.transcripts import transcripts_from_events
 
         replicas = int(os.environ.get("SPARK_GRAFT_GRAPH_REPLICAS", "1"))
         spark = build_session(CPUS)
         if replicas > 1:
-            base = transcripts_from_events(spark, SF_DIR)
-            n_rows = base.count() * replicas
-            scaled = base.crossJoin(
-                spark.range(replicas).select(F.col("id").alias("replica"))
-            ).withColumn(
-                "conv_id", F.concat_ws("-", "conv_id", "replica")
-            ).drop("replica")
+            scaled, n_rows = replicated_transcripts(spark, replicas)
             tri = transcripts_to_triples(scaled, n_rows=n_rows).cache()
         else:
             tri = kg_triples(spark, SF_DIR).cache()

@@ -285,18 +285,26 @@ def neighbor_sample(edges: DataFrame, k: int) -> DataFrame:
     subgraph-sampling primitive a GraphRAG-style training pipeline
     needs, made deterministic (sorted prefix, not random) so the result
     is reproducible across runs/engines and exactly oracle-checkable.
-    Returns (node, n_neighbors, sample). One hash aggregation: the
-    per-node neighbor list is bounded by the node's out-degree, and the
-    SAMPLE is bounded by k — downstream consumers never see the full
-    hub fan-out."""
-    return (
-        edges.groupBy(F.col("src").alias("node"))
+    Returns (node, n_neighbors, sample). Hub-safe: the k-prefix is cut
+    by a row_number window BEFORE any list is collected (window sorts
+    spill; a collect_list over the raw hub fan-out would build an
+    unbounded, non-spillable aggregation buffer), so per-group state is
+    bounded by k everywhere — the count aggregate carries only a
+    counter."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src").orderBy("dst")
+    topk = (
+        edges.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("src")
         .agg(
-            F.count("*").alias("n_neighbors"),
-            F.array_join(
-                F.slice(F.array_sort(F.collect_list("dst")), 1, k), "|"
-            ).alias("sample"),
+            F.array_join(F.array_sort(F.collect_list("dst")), "|").alias("sample")
         )
+    )
+    counts = edges.groupBy("src").agg(F.count("*").alias("n_neighbors"))
+    return counts.join(topk, "src").select(
+        F.col("src").alias("node"), "n_neighbors", "sample"
     )
 
 

@@ -308,18 +308,27 @@ r{i} AS (
     return sql + f"\nSELECT node, r AS rank_fp FROM r{iterations} WHERE r > 0"
 
 
-def kg_ego_subgraph_sql(seed: str, k: int) -> str:
-    """Oracle for the ego subgraph: the k-hop reverse ball as a
-    recursive CTE, then edges with both endpoints inside it."""
+def _reach_cte(seed: str, k: int) -> str:
+    """Shared depth-bounded reverse-BFS recursion (UNION dedups
+    (node, d) pairs, d <= k terminates) — ONE copy of the 'within k
+    hops' semantics for both the khop and ego oracles."""
     seed = seed.replace("'", "''")
-    return (
-        _graph_edges_ctes(recursive=True)
-        + f""",
+    return f"""
 reach(node, d) AS (
   SELECT '{seed}', 0
   UNION
   SELECT e.src, r.d + 1 FROM reach r JOIN edges e ON e.dst = r.node
-  WHERE r.d < {k}),
+  WHERE r.d < {k})"""
+
+
+def kg_ego_subgraph_sql(seed: str, k: int) -> str:
+    """Oracle for the ego subgraph: the k-hop reverse ball (shared
+    recursion), then edges with both endpoints inside it."""
+    return (
+        _graph_edges_ctes(recursive=True)
+        + ","
+        + _reach_cte(seed, k)
+        + """,
 ball AS (SELECT DISTINCT node FROM reach)
 SELECT src, dst FROM edges
 WHERE src IN (SELECT node FROM ball) AND dst IN (SELECT node FROM ball)"""
@@ -366,19 +375,13 @@ WHERE obj_kind = 'iri' AND predicate NOT IN ({quoted})"""
 
 
 def kg_khop_reach_sql(seed: str, k: int = 4) -> str:
-    """Oracle for reverse k-hop reachability: depth-bounded recursive
-    CTE (UNION dedups (node, d) pairs, d <= k terminates), min-hop
-    distance per node."""
-    seed = seed.replace("'", "''")  # IRIs may legally contain quotes
+    """Oracle for reverse k-hop reachability: the shared depth-bounded
+    recursion, min-hop distance per node."""
     return (
         _graph_edges_ctes(recursive=True)
-        + f""",
-reach(node, d) AS (
-  SELECT '{seed}', 0
-  UNION
-  SELECT e.src, r.d + 1 FROM reach r JOIN edges e ON e.dst = r.node
-  WHERE r.d < {k})
-SELECT node, CAST(MIN(d) AS INTEGER) AS dist FROM reach GROUP BY node"""
+        + ","
+        + _reach_cte(seed, k)
+        + "\nSELECT node, CAST(MIN(d) AS INTEGER) AS dist FROM reach GROUP BY node"
     )
 
 
