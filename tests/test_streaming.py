@@ -127,3 +127,69 @@ def test_stateful_conversation_sessions(tmp_path, spark):
     assert final["cA"]["first_ts"].minute == 0 and final["cA"]["last_ts"].minute == 3
     # cA was updated in both micro-batches -> at least two emissions
     assert sum(1 for r in rows if r["conv_id"] == "cA") >= 2
+
+
+def test_watermark_finalizes_windows_and_drops_late_events(tmp_path, spark):
+    """The late-data contract, end to end — pinning Spark's ACTUAL
+    two-watermark policy (measured, then verified against SPARK-24634):
+    the late-event filter uses the PREVIOUS trigger's watermark while
+    eviction/emission uses the current one. So a late event arriving
+    ONE trigger after the watermark advance still merges into the
+    window (and the window emits including it); a late event arriving
+    TWO triggers after is dropped by the filter and the emitted window
+    is never duplicated or amended."""
+    import datetime
+
+    from jsonld_spark.streaming.incremental import (
+        TRANSCRIPT_SCHEMA,
+        windowed_mention_counts,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def turn(conv, idx, minutes):
+        return (conv, idx, "user", "Turn notes: Entity00 done.", None,
+                t0 + datetime.timedelta(minutes=minutes))
+
+    import time as _time
+
+    batches = (
+        [turn("c0", 0, 10), turn("c0", 1, 40)],  # on-time pair, hour 0
+        [turn("c1", 0, 24 * 60)],  # +1 day: advances the watermark
+        [turn("c0", 2, 20)],  # late #1: filter still one trigger behind -> merges
+        [turn("c0", 3, 30)],  # late #2: filter caught up -> dropped
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.parquet(
+            str(indir / f"f{i}.parquet"))
+        _time.sleep(1.2)  # distinct mtimes: one file per micro-batch, in order
+
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(indir) + "/*"))
+    query = (
+        windowed_mention_counts(stream, window="1 hour", slide="1 hour",
+                                watermark="2 hours")
+        .writeStream.format("memory").queryName("wm_windows")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    rows = spark.sql(
+        "SELECT window.start AS ws, entity_id, n_mentions FROM wm_windows"
+    ).collect()
+    by_window = {r["ws"]: r["n_mentions"] for r in rows}
+    # exactly one finalized window: hour 0, emitted ONCE, including the
+    # one-trigger-late event (3 = 2 on-time + late #1), NOT late #2
+    assert by_window == {t0: 3}, by_window
+    # late #2 was dropped by the watermark filter, not silently merged
+    dropped = sum(
+        (p["stateOperators"][0]["numRowsDroppedByWatermark"]
+         if p["stateOperators"] else 0)
+        for p in query.recentProgress
+    )
+    assert dropped == 1, dropped
