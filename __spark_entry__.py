@@ -56,6 +56,66 @@ NEIGHBOR_SAMPLE_K = 8
 EGO_K = 2
 RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
+# language-tagged label fixture (the kg corpus carries no @language
+# literals; same nation-derived pattern as the list-chain fixtures)
+NATION_IRI_PREFIX = "http://kg.example/nation/"
+LABEL_LANGS = ["fr", "de", "es"]
+LABEL_MATCH_LANGS = ["fr", "de"]
+FRAME_SCORE = 0.9   # prior of the E4/E9/... entities -> "9.0E-1"^^xsd:double
+FRAME_RANK = 1      # second mention slot -> "1"^^xsd:integer
+TOOL_DEFAULT = "none"
+
+
+def _frame_score_prior_str() -> str:
+    """Canonical xsd:double lexical form of FRAME_SCORE via the same
+    kernel rule the pipeline serializes with (kernel/rdf.py) — the
+    oracle and the Spark frame compiler cannot drift apart."""
+    from jsonld_spark.kernel.rdf import canonical_double
+
+    return canonical_double(FRAME_SCORE)
+
+
+def _lang_label_triples(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Deterministic language-tagged labels: nation k gets
+    (nation_iri, vocab#label, n_name@en) plus one extra label
+    (lower(n_name)) tagged LABEL_LANGS[k % 3]."""
+    from jsonld_spark.plans.session import read_table
+    from jsonld_spark.sources.entities import VOCAB
+
+    nation = read_table(spark, sf_dir, "nation")
+    ns = F.lit(None).cast("string")
+    langs = F.array(*[F.lit(lang) for lang in LABEL_LANGS])
+
+    def label_row(value, lang):
+        return F.struct(
+            ns.alias("graph"),
+            F.concat(F.lit(NATION_IRI_PREFIX), F.col("n_nationkey")).alias("subject"),
+            F.lit(VOCAB + "label").alias("predicate"),
+            F.lit("literal").alias("obj_kind"),
+            value.alias("obj_value"),
+            ns.alias("obj_type"),
+            lang.alias("obj_lang"),
+        )
+
+    rows = F.array(
+        label_row(F.col("n_name"), F.lit("en")),
+        label_row(
+            F.lower(F.col("n_name")),
+            F.element_at(langs, (F.col("n_nationkey") % len(LABEL_LANGS) + 1).cast("int")),
+        ),
+    )
+    return nation.select(F.explode(rows).alias("t")).select("t.*")
+
+
+def _frame_lang_labels(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Multi-value language-tag frame over the label fixture:
+    label matches ANY of [{"@language": m} for m in LABEL_MATCH_LANGS]."""
+    from jsonld_spark.operators.frame_query import frame_select
+    from jsonld_spark.sources.entities import VOCAB
+
+    frame = {VOCAB + "label": [{"@language": m} for m in LABEL_MATCH_LANGS]}
+    return frame_select(_lang_label_triples(spark, sf_dir), frame)
+
 
 def _nonlink_predicates() -> list[str]:
     from jsonld_spark.sources.entities import VOCAB
@@ -70,17 +130,13 @@ def _nonlink_edges_path(triples: "DataFrame") -> "DataFrame":
     return paths.evaluate(triples, paths.nps(_nonlink_predicates()))
 
 
-def _chain_closure_path(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """rdf:rest{1,5} over one chain per nation, length 2..8 cells
-    (n_nationkey % 7 + 2), last cell -> rdf:nil. Exercises the bounded
-    closure combinator end-to-end: the result is every (cell_i,
-    cell_j) with 0 < j - i <= 5 plus (cell_i, nil) where the remaining
-    chain is within reach — positional arithmetic the oracle mirrors
-    exactly."""
+def _chain_quads(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """One rdf:rest chain per nation, length 2..8 cells
+    (n_nationkey % 7 + 2), last cell -> rdf:nil — the deterministic
+    list-chain fixture shared by both closure driver queries."""
     from pyspark.sql import functions as F
 
     from jsonld_spark.kernel.rdf import RDF_NIL, RDF_REST
-    from jsonld_spark.operators import paths
     from jsonld_spark.plans.session import read_table
 
     nation = read_table(spark, sf_dir, "nation")
@@ -93,7 +149,7 @@ def _chain_closure_path(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         return F.concat(F.lit(CHAIN_CELL_PREFIX), F.col("k"), F.lit("/"), i)
 
     ns = F.lit(None).cast("string")
-    quads = cells.select(
+    return cells.select(
         ns.alias("graph"),
         cell(F.col("i")).alias("subject"),
         F.lit(RDF_REST).alias("predicate"),
@@ -104,8 +160,29 @@ def _chain_closure_path(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         ns.alias("obj_type"),
         ns.alias("obj_lang"),
     )
+
+
+def _chain_closure_path(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """rdf:rest{1,5} over the nation chains: every (cell_i, cell_j)
+    with 0 < j - i <= 5 plus (cell_i, nil) where the remaining chain is
+    within reach — positional arithmetic the oracle mirrors exactly."""
+    from jsonld_spark.kernel.rdf import RDF_REST
+    from jsonld_spark.operators import paths
+
     return paths.evaluate(
-        quads, paths.closure(paths.pred(RDF_REST), CHAIN_CLOSURE_HOPS)
+        _chain_quads(spark, sf_dir), paths.closure(paths.pred(RDF_REST), CHAIN_CLOSURE_HOPS)
+    )
+
+
+def _chain_closure_all_path(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """rdf:rest+ (UNBOUNDED, closure_all): fixpoint over the same
+    chains — every later cell and always nil; the max chain length (8)
+    sits far below the round budget, so the fixpoint terminates."""
+    from jsonld_spark.kernel.rdf import RDF_REST
+    from jsonld_spark.operators import paths
+
+    return paths.evaluate(
+        _chain_quads(spark, sf_dir), paths.closure_all(paths.pred(RDF_REST))
     )
 
 
@@ -239,6 +316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # length list chains (the kg corpus has no multi-hop chains;
         # same nation-derived pattern as jsonld_fromrdf_lists)
         "kg_path_chain_closure": _chain_closure_path,
+        # true SPARQL p+ — fixpoint with round budget + circuit breaker
+        "kg_path_chain_closure_all": _chain_closure_all_path,
         # negated property set: every structural edge EXCEPT the
         # mention/linking predicates — the turn->conv / turn->tool
         # skeleton falls out of !(mentions|entities|target|rdf:type)
@@ -271,6 +350,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"@type": "http://kg.example/vocab#Turn",
              "http://kg.example/vocab#tool": {}},
             depth=1,
+        ),
+        # typed-value matching (VERDICT r3 #1): the frame's native
+        # float/int canonicalize through kernel/rdf literal rules to
+        # the stored lexical forms ("9.0E-1"^^xsd:double, "1"^^integer)
+        "kg_frame_value_mentions": lambda spark, sf: __import__(
+            "jsonld_spark.operators.frame_query", fromlist=["x"]
+        ).frame_select(
+            cached_triples(spark, sf),
+            {"@type": "http://kg.example/vocab#Mention",
+             "http://kg.example/vocab#score": FRAME_SCORE,
+             "http://kg.example/vocab#rank": FRAME_RANK},
+        ),
+        # language-tagged + multi-value alternatives over the nation-
+        # derived label fixture (no @language literals in the kg corpus)
+        "kg_frame_lang_labels": _frame_lang_labels,
+        # @default fill semantics: Turn subjects with tool IRI or the
+        # frame's default where the property is absent
+        "kg_frame_tool_default": lambda spark, sf: __import__(
+            "jsonld_spark.operators.frame_query", fromlist=["x"]
+        ).frame_project(
+            cached_triples(spark, sf),
+            {"@type": "http://kg.example/vocab#Turn",
+             "http://kg.example/vocab#tool": {"@default": TOOL_DEFAULT}},
+            "http://kg.example/vocab#tool",
         ),
         # --- training-data pipeline: dedup ---
         "dedup_exact": dedup.exact_duplicates,
@@ -355,6 +458,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_chain_closure": O.kg_path_chain_closure_sql(
             CHAIN_CELL_PREFIX, RDF_NIL, hops=CHAIN_CLOSURE_HOPS
         ),
+        "kg_path_chain_closure_all": O.kg_path_chain_closure_all_sql(
+            CHAIN_CELL_PREFIX, RDF_NIL
+        ),
         "kg_path_nonlink_edges": O.kg_path_nps_sql(_nonlink_predicates()),
         "kg_ego_subgraph": O.kg_ego_subgraph_sql(KHOP_SEED, k=EGO_K),
         "kg_neighbor_sample": O.kg_neighbor_sample_sql(NEIGHBOR_SAMPLE_K),
@@ -364,6 +470,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_reverse_adjacency": O.kg_reverse_adjacency_sql(),
         "kg_frame_head_mentions": O.kg_frame_head_mentions_sql(),
         "kg_frame_tool_turn_subgraph": O.kg_frame_tool_turn_subgraph_sql(),
+        "kg_frame_value_mentions": O.kg_frame_value_mentions_sql(
+            _frame_score_prior_str(), FRAME_RANK
+        ),
+        "kg_frame_lang_labels": O.kg_frame_lang_labels_sql(
+            NATION_IRI_PREFIX, LABEL_LANGS, LABEL_MATCH_LANGS
+        ),
+        "kg_frame_tool_default": O.kg_frame_tool_default_sql(TOOL_DEFAULT),
         "dedup_exact": dedup.exact_duplicates_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),

@@ -50,18 +50,23 @@ HEADLINE = [
 ]
 
 
-def run_queries(spark, sf_dir: str, reps: int = 1) -> tuple[dict, int]:
-    """Time the headline queries; with reps > 1, keep the per-query
-    BEST of the passes. The shared sandbox host carries external tenant
-    load that swings identical runs by >1.5x (BENCH/BASELINE.md
-    "host variance"), so a single cold pass measures the neighbour's
-    job as much as the plan; best-of-N approximates the uncontended
-    run a dedicated cluster sees. A fresh queries() map per pass gives
-    kg_triples an uncached run each time (its per-map cache only feeds
-    the downstream consumers within the same pass)."""
+def run_queries(spark, sf_dir: str, reps: int = 1) -> tuple[dict, dict, int]:
+    """Time the headline queries; returns (best, cold, triple_count).
+
+    ``cold`` is the first pass (single-pass wall clock, the r1/r2
+    methodology), ``best`` the per-query BEST of all passes. The shared
+    sandbox host carries external tenant load that swings identical
+    runs by >1.5x (BENCH/BASELINE.md "host variance"), so the cold pass
+    measures the neighbour's job as much as the plan; best-of-N
+    approximates the uncontended run a dedicated cluster sees.
+    Recording BOTH keeps cross-round trend lines footnote-free
+    (VERDICT r3 #4). A fresh queries() map per pass gives kg_triples an
+    uncached run each time (its per-map cache only feeds the downstream
+    consumers within the same pass)."""
     import __spark_entry__ as entrymod
 
-    timings: dict[str, float] = {}
+    best: dict[str, float] = {}
+    cold: dict[str, float] = {}
     triple_count = 0
     for rep in range(reps):
         queries = entrymod.queries()
@@ -72,11 +77,13 @@ def run_queries(spark, sf_dir: str, reps: int = 1) -> tuple[dict, int]:
             t0 = time.time()
             n = df.count()
             dt = round(time.time() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            if rep == 0:
+                cold[name] = dt
+            if name not in best or dt < best[name]:
+                best[name] = dt
             if name == "kg_triples":
                 triple_count = n
-    return timings, triple_count
+    return best, cold, triple_count
 
 
 def build_session(cores: int):
@@ -222,11 +229,17 @@ def main() -> None:
             "neighbor_sample": lambda: graph.neighbor_sample(edges, 8).count(),
             "ego_subgraph": lambda: graph.ego_subgraph(edges, seeds, 2).count(),
         }
+        from jsonld_spark.operators import scratch
+
         rows = {}
         for name, fn in runs.items():
             t0 = time.time()
             rows[name] = fn()
             timings[f"{name}_sec"] = round(time.time() - t0, 3)
+            # free operator-internal caches between queries so the
+            # family doesn't accumulate executor storage (the shared
+            # edges cache above is caller-owned and stays)
+            scratch.release()
         print(json.dumps({
             "metric": "graph_analytics_sec",
             "value": round(sum(v for k, v in timings.items() if k != "edges_sec"), 3),
@@ -323,21 +336,28 @@ def main() -> None:
     # reflect steady state (a long-lived cluster job, not JVM cold start)
     import __spark_entry__ as entrymod
 
+    load_start = os.getloadavg()
     entrymod.queries()["kg_triples"](spark, "/root/testdata/sf0.001").count()
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
-    timings, triples = run_queries(spark, SF_DIR, reps=reps)
+    timings, cold, triples = run_queries(spark, SF_DIR, reps=reps)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "reps": reps,  # per-query best-of-N (host variance, see run_queries)
+        "queries": timings,  # per-query best-of-N (host variance, see run_queries)
+        "queries_cold": cold,  # first pass — the r1/r2-comparable series
+        "total_cold": round(sum(cold.values()), 3),
+        "reps": reps,
         "sf": sf,
         "kg_triples_rows": triples,
         "kg_triples_per_sec": round(triples / timings["kg_triples"], 1)
         if timings.get("kg_triples") else None,
         "cores": CPUS,
+        # host contention evidence: 1-min loadavg at start/end (the
+        # sandbox shares its CPUs with external tenants)
+        "loadavg_start": round(load_start[0], 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
     }))
 
 

@@ -11,26 +11,119 @@ the (graph, subject, predicate, obj) relation (SURVEY.md §2.3):
   property == value          -> semi join with an object predicate
   subframe (nested pattern)  -> semi join through the edge to subjects
                                 matching the subframe (recursed)
+  {"@default": d}            -> no constraint (property optional);
+                                ``frame_project`` fills the default
 
-``frame_select`` returns the matching subjects; ``frame_subgraph``
-additionally pulls every triple of the matched subjects plus their
-forward closure to ``depth`` hops — the relational analogue of
-@embed subtree embedding.
+Value matching mirrors ``nodeMatchesFrame``'s strict (===) scalar
+comparison (Processor.php:2683-2692 scalar branch, 2724-2740
+value-object subframes) translated to the RDF literal space: the
+triple table stores *canonical lexical forms* (kernel/rdf.py), so a
+frame value ``5.3`` compiles to ``obj_value = '5.3E0' AND obj_type =
+xsd:double`` — the same literal the document kernel would have
+emitted. PHP's === type strictness carries over for free: ``5`` is
+xsd:integer "5", ``5.0`` is xsd:double "5.0E0", ``True`` is
+xsd:boolean "true" — all distinct literals. One documented deviation:
+expanded documents distinguish ``{"@value": "x"}`` from ``{"@value":
+"x", "@type": xsd:string}`` (the kernel matcher treats the second as
+requiring an explicit @type member); RDF erases that distinction, so
+on the triple table both mean the xsd:string literal.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from jsonld_spark.kernel.rdf import (
+    XSD_STRING,
+    value_object_to_literal,
+)
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
-def _match_condition(value_spec):
-    """Column predicate over (obj_kind, obj_value) for a scalar spec."""
+def _literal_condition(lex: str, dtype: str | None, lang: str | None) -> Column:
+    """Exact predicate for one RDF literal (canonical lexical form +
+    datatype + language) over (obj_kind, obj_value, obj_type, obj_lang)."""
+    cond = (F.col("obj_kind") == "literal") & (F.col("obj_value") == lex)
+    if lang is not None:
+        # language literals carry no datatype column (Quad contract)
+        return cond & (F.col("obj_lang") == lang)
+    return cond & (F.col("obj_type") == dtype) & F.col("obj_lang").isNull()
+
+
+def _scalar_condition(value_spec) -> Column:
+    """Predicate for a scalar frame value (str/int/float/bool).
+
+    Non-strings canonicalize through the same literal rules toRdf uses
+    (kernel/rdf.value_object_to_literal): ``0.9`` -> ``9.0E-1`` ^^
+    xsd:double, ``2`` -> ``"2"`` ^^ xsd:integer, ``True`` -> ``"true"``
+    ^^ xsd:boolean. Strings match either an IRI object (the kernel's
+    "non-expanded IRIs" branch, Processor.php:2745-2756) or the
+    xsd:string literal.
+    """
     if isinstance(value_spec, str):
-        return F.col("obj_value") == value_spec
-    return F.col("obj_value") == F.lit(str(value_spec))
+        return ((F.col("obj_kind") == "iri") & (F.col("obj_value") == value_spec)) | (
+            _literal_condition(value_spec, XSD_STRING, None)
+        )
+    lit = value_object_to_literal({"@value": value_spec})
+    if lit is None:  # not representable as an RDF literal -> match nothing
+        return F.lit(False)
+    return _literal_condition(*lit)
+
+
+def _value_object_condition(spec: dict) -> Column:
+    """Predicate for a value-object spec: any subset of @value / @type /
+    @language keys, each an independent constraint (the kernel matches
+    value objects by recursing with the spec as a per-key filter,
+    Processor.php:2724-2740 via the scalar branch)."""
+    conds = [F.col("obj_kind") == F.lit("literal")]
+    if "@value" in spec and "@type" in spec:
+        lit = value_object_to_literal({"@value": spec["@value"], "@type": spec["@type"]})
+        if lit is None:
+            return F.lit(False)
+        return _literal_condition(*lit)
+    if "@value" in spec and "@language" in spec:
+        # language tags compare strictly and case-sensitively: the
+        # reference lowercases only language-MAP keys during expansion
+        # (Processor.php:427); an explicit @language member is kept
+        # verbatim and nodeMatchesFrame compares with === — "FR" ≠ "fr"
+        lit = value_object_to_literal(
+            {"@value": spec["@value"], "@language": spec["@language"]}
+        )
+        if lit is None:
+            return F.lit(False)
+        return _literal_condition(*lit)
+    if "@value" in spec:
+        return _scalar_condition(spec["@value"]) & (F.col("obj_kind") == "literal")
+    if "@type" in spec:
+        conds.append(F.col("obj_type") == spec["@type"])
+    if "@language" in spec:
+        conds.append(F.col("obj_lang") == spec["@language"])
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def _is_value_spec(spec: dict) -> bool:
+    return any(k in spec for k in ("@value", "@type", "@language"))
+
+
+def _match_condition(value_spec) -> Column | None:
+    """Column predicate over the object columns for one alternative of
+    a frame value spec; None means the alternative is a no-constraint
+    marker (``@default``)."""
+    if isinstance(value_spec, dict):
+        if "@default" in value_spec:
+            return None
+        if _is_value_spec(value_spec):
+            return _value_object_condition(value_spec)
+        raise ValueError(
+            "object specs must be value objects, {'@default': ...} or "
+            "{'@frame': ...} (nested frames recurse via semi-joins)"
+        )
+    return _scalar_condition(value_spec)
 
 
 def frame_select(triples: DataFrame, frame: dict) -> DataFrame:
@@ -39,9 +132,17 @@ def frame_select(triples: DataFrame, frame: dict) -> DataFrame:
     * "@type": IRI string — subject must have that rdf:type
     * <predicate>: {}            — property must exist (wildcard)
     * <predicate>: []            — property must NOT exist
-    * <predicate>: "value"/num   — some value must equal it
+    * <predicate>: "v"/num/bool  — some value must === it (canonical
+      literal comparison; see module docstring)
+    * <predicate>: {"@value"/"@type"/"@language": ...} — typed /
+      language-tagged value object match (each key a constraint)
+    * <predicate>: {"@default": d} — no constraint (fill via
+      ``frame_project``)
     * <predicate>: {"@frame": {...}} — some object must be a subject
       matching the nested frame (recursive semi-join)
+    * <predicate>: [alt1, alt2, ...] — non-empty list: match if ANY
+      alternative matches (nodeMatchesFrame's validValues loop,
+      Processor.php:2722-2757)
     """
     subjects = triples.select("subject").distinct()
     for prop, spec in frame.items():
@@ -65,9 +166,49 @@ def frame_select(triples: DataFrame, frame: dict) -> DataFrame:
             cond = triples.where(F.col("predicate") == prop)
             subjects = subjects.join(cond.select("subject").distinct(), "subject", "left_semi")
         else:
-            cond = triples.where((F.col("predicate") == prop) & _match_condition(spec))
+            alternatives = spec if isinstance(spec, list) else [spec]
+            conds = [_match_condition(alt) for alt in alternatives]
+            if any(c is None for c in conds):
+                # an @default alternative makes the property optional
+                continue
+            combined = conds[0]
+            for c in conds[1:]:
+                combined = combined | c
+            cond = triples.where((F.col("predicate") == prop) & combined)
             subjects = subjects.join(cond.select("subject").distinct(), "subject", "left_semi")
     return subjects
+
+
+def frame_project(triples: DataFrame, frame: dict, prop: str) -> DataFrame:
+    """Matched subjects with the values of ``prop``, filling the
+    frame's ``@default`` for subjects where the property is absent
+    (Processor.php:2644-2664: a missing property with an @default
+    alternative fills instead of failing).
+
+    Output: (subject, value) — one row per (subject, value) pair, or
+    one default row for subjects lacking the property. The frame's
+    spec for ``prop`` must be / contain an ``{"@default": d}``
+    alternative with a scalar default.
+    """
+    spec = frame[prop]
+    alternatives = spec if isinstance(spec, list) else [spec]
+    default = None
+    for alt in alternatives:
+        if isinstance(alt, dict) and "@default" in alt:
+            default = alt["@default"]
+            break
+    if default is None:
+        raise ValueError(f"frame spec for {prop!r} carries no @default")
+
+    matched = frame_select(triples, frame)
+    values = (
+        triples.where(F.col("predicate") == prop)
+        .select("subject", F.col("obj_value").alias("value"))
+        .distinct()
+    )
+    return matched.join(values, "subject", "left").select(
+        "subject", F.coalesce(F.col("value"), F.lit(str(default))).alias("value")
+    )
 
 
 def frame_subgraph(triples: DataFrame, frame: dict, depth: int = 1) -> DataFrame:

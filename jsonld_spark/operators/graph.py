@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from jsonld_spark.operators import scratch
+
 PR_SCALE = 10**9  # fixed-point rank scale; see module docstring
 PR_ITERATIONS = 3
 KHOP_DEFAULT_K = 4
@@ -77,13 +79,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     # at DataFrame-build time (outside any caller's timing/action) and
     # even eager=False compiles the physical plan on the spot — see
     # pagerank_fixedpoint's docstring. und/oriented still compute once
-    # for their multiple consumers.
-    und = (
+    # for their multiple consumers. Both stay referenced by the
+    # returned lazy plan, so they are scratch-tracked for the caller to
+    # release() after materializing (operators/scratch.py).
+    und = scratch.track(
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-        )
-        .distinct()
-        .cache()
+        ).distinct()
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -106,11 +108,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .join(keyed.select(F.col("node").alias("v"), F.col("okey").alias("kv")), "v")
     )
     lo = F.col("ku") < F.col("kv")
-    oriented = withk.select(
-        F.when(lo, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(lo, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(lo, F.col("kv")).otherwise(F.col("ku")).alias("kb"),
-    ).cache()  # consumed 3x below; computed once, lazily
+    oriented = scratch.track(  # consumed 3x below; computed once, lazily
+        withk.select(
+            F.when(lo, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lo, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(lo, F.col("kv")).otherwise(F.col("ku")).alias("kb"),
+        )
+    )
     wedges = (
         oriented.alias("e1")
         .join(oriented.alias("e2"), "a")
@@ -200,7 +204,12 @@ def personalized_pagerank_fixedpoint(
     with rank_fp > 0 (mass reaches at most ``iterations`` hops from a
     seed). Seeds absent from the graph's node set carry no mass. Same
     overflow contract; mass here is seed-count-bounded, so
-    85 * n_seeds * scale < 2^63 suffices."""
+    85 * n_seeds * scale < 2^63 suffices.
+
+    Unlike the uniform variant the rank table is SPARSE — proportional
+    to the reached ball, not the node set — and the teleport term is
+    folded into the contribution aggregation, so per-round cost is one
+    join + one combine over reached nodes (see _pagerank_core)."""
     return _pagerank_core(edges, seeds, iterations, scale, checkpoint_every, reverse)
 
 
@@ -215,7 +224,9 @@ def _pagerank_core(
     """One recurrence, both variants: uniform (seeds=None) or
     seed-restricted teleport — a single copy keeps the two engines'
     bit-identical property maintained in one place."""
-    base_edges = edges if edges.is_cached else edges.cache()
+    # an uncached input gets a scratch-tracked cache; a caller-cached
+    # edge table (the driver's shared cached_edges) stays caller-owned
+    base_edges = edges if edges.is_cached else scratch.track(edges)
     # a reversal is a projection over the (cached) base — re-deriving
     # it per consumer is a cache scan, cheaper than a second edge cache
     e = (
@@ -224,8 +235,8 @@ def _pagerank_core(
         else base_edges
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # both consumed every round: cache once
-    esrc = e.join(outdeg, "src").cache()  # (src, dst, outdeg)
+    # both consumed every round: cache once (scratch-tracked)
+    esrc = scratch.track(e.join(outdeg, "src"))  # (src, dst, outdeg)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -233,32 +244,60 @@ def _pagerank_core(
     )
     base = scale * 15 // 100
     if seeds is None:
-        marked = nodes.select("node", F.lit(1).alias("is_seed")).cache()
-    else:
-        marked = nodes.join(
-            seeds.select("node", F.lit(1).alias("_s")).distinct(), "node", "left"
-        ).select("node", F.coalesce(F.col("_s"), F.lit(0)).alias("is_seed")).cache()
-    ranks = marked.select(
-        "node", (F.col("is_seed") * scale).cast("long").alias("rank_fp")
+        # dense recurrence: every node carries the teleport term, so
+        # the per-round base join against the full node table is the
+        # recurrence itself — nothing to shave
+        marked = scratch.track(nodes.select("node", F.lit(1).alias("is_seed")))
+        ranks = marked.select("node", F.lit(scale).cast("long").alias("rank_fp"))
+        for i in range(iterations):
+            contrib = esrc.join(
+                ranks.select(F.col("node").alias("src"), "rank_fp"), "src"
+            ).select(
+                F.col("dst").alias("node"),
+                F.expr("(rank_fp * 85) div (100 * outdeg)").alias("c"),
+            )
+            summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+            ranks = marked.join(summed, "node", "left").select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("rank_fp"),
+            )
+            if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+                ranks = ranks.localCheckpoint()
+        return ranks
+
+    # SPARSE personalized recurrence (VERDICT r3 #5): only seeds and
+    # reached nodes ever hold mass, so the rank table tracks just
+    # those. The teleport term rides into the SAME aggregation as the
+    # edge contributions (base rows unioned before the groupBy), so a
+    # round is one join + one combine — the full-node-set base join of
+    # the dense form (and r3's per-round `marked` re-join) is gone.
+    # Integer sums are associative, so folding base into the sum keeps
+    # the result bit-identical to the unrolled oracle recurrence.
+    seed_base = scratch.track(
+        seeds.select("node")
+        .distinct()
+        .join(nodes, "node", "left_semi")  # seeds absent from the graph: no mass
+        .select("node", F.lit(base).cast("long").alias("c"))
     )
+    ranks = seed_base.select("node", F.lit(scale).cast("long").alias("rank_fp"))
     for i in range(iterations):
-        live = ranks if seeds is None else ranks.where(F.col("rank_fp") > 0)
+        live = ranks.where(F.col("rank_fp") > 0)
         contrib = esrc.join(
             live.select(F.col("node").alias("src"), "rank_fp"), "src"
         ).select(
             F.col("dst").alias("node"),
             F.expr("(rank_fp * 85) div (100 * outdeg)").alias("c"),
         )
-        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = marked.join(summed, "node", "left").select(
-            "node",
-            (F.col("is_seed") * base + F.coalesce(F.col("s"), F.lit(0)))
-            .cast("long")
-            .alias("rank_fp"),
+        ranks = (
+            contrib.unionByName(seed_base)
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("rank_fp"))
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint()
-    return ranks if seeds is None else ranks.where(F.col("rank_fp") > 0)
+    return ranks.where(F.col("rank_fp") > 0)
 
 
 def ego_subgraph(
@@ -341,26 +380,30 @@ def khop_distances(
         if reverse
         else edges.select(F.col("src").alias("frm"), F.col("dst").alias("to"))
     ).cache()  # consumed every round, computed once
-    dist = (
-        seeds.select("node", F.lit(0).cast("int").alias("dist"))
-        .distinct()
-        .cache()
+    # the seed table is referenced by the returned union (cheap to
+    # recompute after release); step is loop-local and unpersisted on
+    # exit — the BFS has executed by then, nothing references it
+    dist = scratch.track(
+        seeds.select("node", F.lit(0).cast("int").alias("dist")).distinct()
     )
     frontier = dist.select("node")
-    for d in range(1, k + 1):
-        nxt = (
-            step.join(frontier.select(F.col("node").alias("frm")), "frm")
-            .select(F.col("to").alias("node"))
-            .distinct()
-            .join(dist.select("node"), "node", "left_anti")
-            .select("node", F.lit(d).cast("int").alias("dist"))
-            .localCheckpoint()
-        )
-        if nxt.isEmpty():
-            break
-        # no checkpoint: dist is a flat union of already-checkpointed
-        # frontiers (plus the seed table), free to recompute — only the
-        # per-round frontier needs materializing
-        dist = dist.unionByName(nxt)
-        frontier = nxt
+    try:
+        for d in range(1, k + 1):
+            nxt = (
+                step.join(frontier.select(F.col("node").alias("frm")), "frm")
+                .select(F.col("to").alias("node"))
+                .distinct()
+                .join(dist.select("node"), "node", "left_anti")
+                .select("node", F.lit(d).cast("int").alias("dist"))
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            # no checkpoint: dist is a flat union of already-checkpointed
+            # frontiers (plus the seed table), free to recompute — only the
+            # per-round frontier needs materializing
+            dist = dist.unionByName(nxt)
+            frontier = nxt
+    finally:
+        step.unpersist()
     return dist

@@ -13,9 +13,12 @@ per-node driver loop exists:
     seq(a, b, ...)   sequence: a/b
     alt(a, b, ...)   alternation: a|b
     closure(p, k)    bounded transitive closure p{1,k} (SPARQL's p+
-                     capped at k hops — unbounded closure over an
-                     unknown graph is not a 100-TB-safe query shape;
-                     the cap makes cost explicit, like khop_distances)
+                     capped at k hops — the cap makes cost explicit,
+                     like khop_distances)
+    closure_all(p)   true unbounded p+ — fixpoint iteration with an
+                     explicit round budget and an optional row-count
+                     circuit breaker, so runaway closures fail loudly
+                     instead of consuming the cluster
 
 Each expression evaluates to a DISTINCT (src, dst) relation over
 node-valued objects — IRIs AND blank nodes (both carry
@@ -38,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from jsonld_spark.operators import scratch
+
 
 def pred(p: str):
     """One forward step over predicate ``p`` (node-valued objects:
@@ -53,9 +58,12 @@ def pred(p: str):
 
 def nps(excluded: list[str]):
     """Negated property set !(p1|p2|...): one forward step over ANY
-    predicate not in ``excluded`` (SPARQL 1.1 §9.1). Still a single
-    predicate-pushdown scan — the NOT IN filter reaches the triple
-    source like the positive filter does."""
+    predicate not in ``excluded`` (SPARQL 1.1 §9.1). The NOT IN filter
+    sits directly above the triple source, so it is applied before any
+    join: against a parquet-backed triple table it is pushed into the
+    scan (PushedFilters); against a cached table it is the first
+    operator over the in-memory scan (which Spark evaluates against
+    cached batches, not parquet metadata)."""
     def rel(triples: DataFrame) -> DataFrame:
         return (
             triples.where(
@@ -121,7 +129,10 @@ def closure(path, max_hops: int):
         raise ValueError("closure needs max_hops >= 1")
 
     def rel(triples: DataFrame) -> DataFrame:
-        step = path(triples).cache()  # consumed every round, computed once
+        # consumed every round AND referenced by the returned union, so
+        # scratch-tracked rather than unpersisted at exit (the caller
+        # releases after materializing; operators/scratch.py)
+        step = scratch.track(path(triples))
         reach = step
         frontier = step
         for _ in range(max_hops - 1):
@@ -139,6 +150,61 @@ def closure(path, max_hops: int):
             reach = reach.unionByName(nxt)
             frontier = nxt
         return reach
+    return rel
+
+
+def closure_all(path, max_rounds: int = 64, max_rows: int | None = None):
+    """Unbounded transitive closure p+ — fixpoint iteration (the
+    connected-components loop shape, operators/components.py) with
+    guard rails: ``max_rounds`` bounds the number of frontier rounds
+    (the graph's diameter must be below it — 64 covers any plausible
+    real diameter while stopping cyclic runaways), ``max_rows``
+    optionally caps the total closure size. Breaching either raises
+    RuntimeError instead of silently consuming the cluster: at 100 TB
+    an unbounded closure over an adversarial graph is a
+    quadratic-output query, and failing loudly with the row count seen
+    so far is the only safe default. Executes when evaluated (each
+    round's frontier drives the fixpoint test)."""
+    if max_rounds < 1:
+        raise ValueError("closure_all needs max_rounds >= 1")
+
+    def rel(triples: DataFrame) -> DataFrame:
+        step = scratch.track(path(triples))
+        reach = step
+        frontier = step
+        total = None  # lazily counted only when max_rows is set
+        if max_rows is not None:
+            total = step.count()
+            if total > max_rows:
+                raise RuntimeError(
+                    f"closure_all: step relation alone has {total} rows "
+                    f"(> max_rows={max_rows})"
+                )
+        for _ in range(max_rounds):
+            expanded = (
+                frontier.join(
+                    step.select(F.col("src").alias("dst"), F.col("dst").alias("nxt")),
+                    "dst",
+                )
+                .select("src", F.col("nxt").alias("dst"))
+                .distinct()
+            )
+            nxt = expanded.join(reach, ["src", "dst"], "left_anti").localCheckpoint()
+            if nxt.isEmpty():
+                return reach
+            if max_rows is not None:
+                total += nxt.count()
+                if total > max_rows:
+                    raise RuntimeError(
+                        f"closure_all: closure exceeded max_rows={max_rows} "
+                        f"({total} pairs and still growing)"
+                    )
+            reach = reach.unionByName(nxt)
+            frontier = nxt
+        raise RuntimeError(
+            f"closure_all: no fixpoint after max_rounds={max_rounds} "
+            "(graph diameter exceeds the budget or the path cycles)"
+        )
     return rel
 
 

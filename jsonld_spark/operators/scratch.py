@@ -1,0 +1,50 @@
+"""Scratch-cache registry for iterative operators (VERDICT r3 #3).
+
+The graph/path operators cache intermediates that are consumed several
+times inside one logical query (edge projections, degree joins, step
+relations). Some of those caches remain referenced by the *returned*
+lazy DataFrame, so the operator cannot unpersist them at function exit
+without forcing recomputation on the caller's first action. Instead
+every such cache is registered here, and the caller releases them once
+results are materialized:
+
+    from jsonld_spark.operators import scratch
+    ... run graph/path queries, materialize results ...
+    scratch.release()          # unpersists every tracked cache
+
+One query per session needs nothing; a long session running many graph
+queries calls ``release()`` between batches so executor storage does
+not accumulate until eviction pressure (bench.py --graph does this).
+Caches the CALLER created (e.g. __spark_entry__.cached_edges) are never
+tracked here — caller-owned lifecycles stay caller-owned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_SCRATCH: list[DataFrame] = []
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Cache ``df`` and register it for a later ``release()``."""
+    df = df.cache()
+    _SCRATCH.append(df)
+    return df
+
+
+def release() -> int:
+    """Unpersist every tracked scratch cache; returns how many."""
+    n = 0
+    for df in _SCRATCH:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    _SCRATCH.clear()
+    return n
+
+
+def tracked_count() -> int:
+    return len(_SCRATCH)

@@ -276,6 +276,23 @@ SELECT '{prefix}' || k || '/' || i AS src, '{nil}' AS dst
 FROM pos WHERE len - i <= {hops}"""
 
 
+def kg_path_chain_closure_all_sql(prefix: str, nil: str) -> str:
+    """Oracle for the UNBOUNDED-closure driver query (closure_all):
+    rdf:rest+ over the same nation chains reaches every later cell and
+    always reaches nil — the definitional answer (p U p^2 U ...)
+    written as positional arithmetic with no hop cap, independent of
+    the fixpoint algorithm."""
+    return f"""
+WITH n AS (SELECT n_nationkey AS k, n_nationkey % 7 + 2 AS len FROM nation),
+pos AS (SELECT k, len, i FROM n, UNNEST(range(0, 8)) t(i) WHERE i < len)
+SELECT '{prefix}' || k || '/' || i AS src,
+       '{prefix}' || k || '/' || j AS dst
+FROM (SELECT p1.k, p1.i, p2.i AS j
+      FROM pos p1 JOIN pos p2 ON p1.k = p2.k AND p2.i > p1.i)
+UNION ALL
+SELECT '{prefix}' || k || '/' || i AS src, '{nil}' AS dst FROM pos"""
+
+
 def kg_ppr_sql(seed: str, iterations: int = 3, scale: int = 10**9,
                reverse: bool = True) -> str:
     """Oracle for personalized PageRank: same unrolled integer
@@ -496,6 +513,48 @@ subs AS (
   SELECT entity_id FROM linked WHERE turn_iri IN (SELECT turn_iri FROM sel)
 )
 SELECT * FROM triples WHERE subject IN (SELECT s FROM subs)"""
+    )
+
+
+def kg_frame_value_mentions_sql(prior_str: str, rank: int) -> str:
+    """Oracle for the typed-value frame query
+    {@type: Mention, score: <double>, rank: <int>} (VERDICT r3 #1):
+    the frame's native float/int canonicalize to the literal forms the
+    pipeline stores (``prior_str`` is the canonical xsd:double lexical
+    form from the shared constants), so the match set is exactly the
+    linked mentions with that prior and slot."""
+    return (
+        base_ctes()
+        + f"""
+SELECT DISTINCT bnode AS subject FROM linked
+WHERE prior_str = '{prior_str}' AND j = {rank}"""
+    )
+
+
+def kg_frame_lang_labels_sql(prefix: str, langs: list[str], match: list[str]) -> str:
+    """Oracle for the language-tagged frame query over the nation-
+    derived label fixture: nation k carries an 'en' label plus one
+    extra label in ``langs[k % len(langs)]``; the frame's multi-value
+    spec [{"@language": m} for m in match] selects nations whose extra
+    label language is in ``match``."""
+    idxs = [i for i, lang in enumerate(langs) if lang in match]
+    in_list = ", ".join(str(i) for i in idxs) or "-1"
+    return f"""
+SELECT DISTINCT '{prefix}' || n_nationkey AS subject FROM nation
+WHERE n_nationkey % {len(langs)} IN ({in_list})
+   OR 'en' IN ({", ".join("'" + m + "'" for m in match)})"""
+
+
+def kg_frame_tool_default_sql(default: str) -> str:
+    """Oracle for frame_project({@type: Turn, tool: {@default: ...}},
+    tool): every Turn subject with its tool IRI, the default filled
+    where the property is absent (Processor.php:2644-2664)."""
+    return (
+        base_ctes()
+        + f"""
+SELECT turn_iri AS subject,
+       COALESCE('{E.KG}tool/' || tool, '{default}') AS value
+FROM turns"""
     )
 
 

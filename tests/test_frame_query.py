@@ -1,0 +1,221 @@
+"""Distributed frame compiler vs the kernel matcher (VERDICT r3 #1).
+
+The compiler (operators/frame_query.py) must agree with the kernel's
+``nodeMatchesFrame`` port (kernel/framing.py) on typed-literal,
+language-tagged, multi-value, and @default specs. Fixtures keep every
+node IRI-identified so matched sets are comparable across the two
+representations (triple subjects vs node-map @ids)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonld_spark.kernel.api import expand
+from jsonld_spark.kernel.framing import frame_expanded
+from jsonld_spark.kernel.rdf import expanded_to_quads
+from jsonld_spark.operators.frame_query import (
+    frame_project,
+    frame_select,
+    frame_subgraph,
+)
+
+EX = "http://ex.org/"
+V = EX + "v#"
+
+QUAD_SCHEMA = (
+    "graph string, subject string, predicate string, "
+    "obj_kind string, obj_value string, obj_type string, obj_lang string"
+)
+
+DOC = {
+    "@context": {"@vocab": V, "knows": {"@type": "@id"}},
+    "@graph": [
+        {"@id": EX + "a", "@type": "Person", "score": 5.3, "n": 5,
+         "label": {"@value": "bonjour", "@language": "FR"}, "flag": True,
+         "knows": EX + "b"},
+        {"@id": EX + "b", "@type": "Person", "score": 5.0, "n": 5,
+         "label": {"@value": "hello", "@language": "en"}, "flag": False},
+        {"@id": EX + "c", "@type": "Robot", "score": 5.3, "n": 7,
+         "label": "plain", "knows": EX + "a"},
+        {"@id": EX + "d", "@type": "Person",
+         "temp": {"@value": "98.6", "@type": V + "fahrenheit"}},
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    quads = expanded_to_quads(expand(DOC))
+    return spark.createDataFrame([tuple(q) for q in quads], QUAD_SCHEMA).cache()
+
+
+def _subjects(df):
+    return {r["subject"] for r in df.select("subject").collect()}
+
+
+def _kernel_match_ids(frame: dict) -> set:
+    """Top-level @ids matched by the kernel on the same document.
+
+    The frame is expanded WITHOUT @vocab: the reference vocab-maps
+    "@default" (not in $keywords, Processor.php:34-36 + 901-902) so
+    framing keywords only survive frame expansion when no @vocab is
+    active — absolute-IRI frame keys keep the two sides comparable
+    and let the compiler's frame dict be reused verbatim."""
+    expanded_frame = expand(dict(frame), frame=True)
+    matched = frame_expanded(expand(DOC), expanded_frame)
+    return {node["@id"] for node in matched if isinstance(node, dict) and "@id" in node}
+
+
+# --- typed-value matching: the r3 bug (float spec vs canonical lexical) ---
+
+def test_float_value_matches_canonical_double(triples):
+    # 5.3 is stored as "5.3E0"^^xsd:double; the old compiler compared
+    # str(5.3) == "5.3" and silently returned no rows
+    got = _subjects(frame_select(triples, {V + "score": 5.3}))
+    assert got == {EX + "a", EX + "c"}
+
+
+def test_integral_floats_collapse_to_xsd_integer(triples):
+    # toRdf serializes integral numbers as xsd:integer (kernel/rdf.py
+    # mirrors PHP's `$value != (int) $value`, Value.php:85): 5 and 5.0
+    # are the SAME literal "5"^^xsd:integer at the RDF level, so both
+    # spec spellings match — while non-integral 5.3 stays xsd:double
+    assert _subjects(frame_select(triples, {V + "n": 5})) == {EX + "a", EX + "b"}
+    assert _subjects(frame_select(triples, {V + "n": 5.0})) == {EX + "a", EX + "b"}
+    assert _subjects(frame_select(triples, {V + "score": 5.0})) == {EX + "b"}
+    assert _subjects(frame_select(triples, {V + "n": 5.3})) == set()
+
+
+def test_boolean_value(triples):
+    assert _subjects(frame_select(triples, {V + "flag": True})) == {EX + "a"}
+    assert _subjects(frame_select(triples, {V + "flag": False})) == {EX + "b"}
+
+
+def test_explicit_datatype_value_object(triples):
+    got = _subjects(
+        frame_select(
+            triples, {V + "temp": {"@value": "98.6", "@type": V + "fahrenheit"}}
+        )
+    )
+    assert got == {EX + "d"}
+    # same lexical form, wrong datatype -> no match
+    assert (
+        _subjects(
+            frame_select(triples, {V + "temp": {"@value": "98.6", "@type": V + "c"}})
+        )
+        == set()
+    )
+
+
+# --- language-tagged matching -------------------------------------------
+
+def test_language_tag_match_is_case_sensitive(triples):
+    # the reference lowercases only language-MAP keys (Processor.php:
+    # 427); an explicit @language stays verbatim and matches with ===,
+    # so the doc's "FR" matches spec "FR" but not "fr"
+    got = _subjects(
+        frame_select(triples, {V + "label": {"@value": "bonjour", "@language": "FR"}})
+    )
+    assert got == {EX + "a"}
+    assert (
+        _subjects(
+            frame_select(triples, {V + "label": {"@value": "bonjour", "@language": "fr"}})
+        )
+        == set()
+    )
+
+
+def test_language_only_partial_spec(triples):
+    assert _subjects(frame_select(triples, {V + "label": {"@language": "en"}})) == {
+        EX + "b"
+    }
+    # plain string "plain" is xsd:string, not language-tagged
+    assert _subjects(frame_select(triples, {V + "label": {"@language": "xx"}})) == set()
+
+
+def test_plain_string_matches_string_literal_not_lang(triples):
+    assert _subjects(frame_select(triples, {V + "label": "plain"})) == {EX + "c"}
+    # "bonjour" exists only as @fr — a plain-string spec must not match it
+    assert _subjects(frame_select(triples, {V + "label": "bonjour"})) == set()
+
+
+# --- multi-value alternatives -------------------------------------------
+
+def test_multi_value_alternatives(triples):
+    got = _subjects(
+        frame_select(
+            triples,
+            {V + "label": [{"@language": "FR"}, "plain"]},
+        )
+    )
+    assert got == {EX + "a", EX + "c"}
+
+
+def test_alternatives_mix_scalars_and_typed(triples):
+    got = _subjects(frame_select(triples, {V + "score": [5.0, 5.3]}))
+    assert got == {EX + "a", EX + "b", EX + "c"}
+
+
+# --- @default fills ------------------------------------------------------
+
+def test_default_makes_property_optional(triples):
+    got = _subjects(
+        frame_select(
+            triples, {"@type": V + "Person", V + "score": {"@default": "0"}}
+        )
+    )
+    # d has no score but matches via the default
+    assert got == {EX + "a", EX + "b", EX + "d"}
+
+
+def test_frame_project_fills_default(triples):
+    rows = frame_project(
+        triples,
+        {"@type": V + "Person", V + "score": {"@default": "none"}},
+        V + "score",
+    ).collect()
+    got = {(r["subject"], r["value"]) for r in rows}
+    # b's 5.0 is integral -> stored as "5"^^xsd:integer (Value.php:85)
+    assert got == {
+        (EX + "a", "5.3E0"),
+        (EX + "b", "5"),
+        (EX + "d", "none"),
+    }
+
+
+# --- kernel-vs-distributed differential ---------------------------------
+
+DIFFERENTIAL_FRAMES = [
+    # the SAME frame dict drives both sides (absolute-IRI keys)
+    {V + "score": 5.3},
+    {V + "n": 5},
+    {V + "flag": True},
+    {V + "label": {"@value": "bonjour", "@language": "FR"}},
+    {V + "temp": {"@value": "98.6", "@type": V + "fahrenheit"}},
+    {V + "score": [5.0, 5.3]},
+    {"@type": V + "Person", V + "score": {"@default": "0"}},
+    {"@type": V + "Person"},
+    {V + "label": [{"@language": "FR"}, "plain"]},
+]
+
+
+@pytest.mark.parametrize("frame", DIFFERENTIAL_FRAMES)
+def test_differential_kernel_vs_distributed(triples, frame):
+    got = _subjects(frame_select(triples, frame))
+    want = _kernel_match_ids(frame)
+    assert got == want
+
+
+# --- regression: invalid specs fail loudly ------------------------------
+
+def test_unknown_dict_spec_raises(triples):
+    with pytest.raises(ValueError):
+        frame_select(triples, {V + "score": {"bogus": 1}}).collect()
+
+
+def test_subgraph_still_works_with_typed_root(triples):
+    rows = frame_subgraph(triples, {V + "score": 5.3}, depth=1)
+    subs = _subjects(rows)
+    # a and c match; a's forward closure adds b (knows), c's adds a
+    assert subs == {EX + "a", EX + "b", EX + "c"}

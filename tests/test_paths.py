@@ -130,3 +130,54 @@ def test_path_ignores_literal_objects(spark):
         " graph string, obj_type string, obj_lang string",
     )
     assert _rows(paths.evaluate(t, paths.pred("p"))) == {("a", "b")}
+
+
+def test_closure_all_reaches_fixpoint(spark):
+    """closure_all == definitional p+ (p U p^2 U ... to fixpoint) on
+    random DAG-ish graphs; on a chain it returns all ancestor pairs."""
+    import pytest
+
+    for seed in range(3):
+        rng = random.Random(90 + seed)
+        nodes = [f"n{i}" for i in range(rng.randint(4, 10))]
+        # acyclic by construction (edges only go up-index) so the
+        # fixpoint exists and the naive definitional answer is finite
+        rows = []
+        for _ in range(rng.randint(3, 20)):
+            i, j = sorted(rng.sample(range(len(nodes)), 2))
+            rows.append((nodes[i], "p", nodes[j]))
+        t = _triples_df(spark, rows)
+        rel = _naive(rows, "p")
+        want = _naive_closure(rel, len(nodes))  # k=n is past any fixpoint
+        got = _rows(paths.evaluate(t, paths.closure_all(paths.pred("p"))))
+        assert got == want, seed
+
+
+def test_closure_all_cycle_terminates_at_fixpoint(spark):
+    """A cycle has a finite closure (all pairs on the cycle) — the
+    fixpoint terminates even though paths are infinite."""
+    rows = [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a")]
+    t = _triples_df(spark, rows)
+    got = _rows(paths.evaluate(t, paths.closure_all(paths.pred("p"))))
+    assert got == {(x, y) for x in "abc" for y in "abc"}
+
+
+def test_closure_all_round_budget_raises(spark):
+    """A long chain with a tiny round budget fails loudly."""
+    import pytest
+
+    rows = [(f"c{i}", "p", f"c{i + 1}") for i in range(8)]
+    t = _triples_df(spark, rows)
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        paths.evaluate(t, paths.closure_all(paths.pred("p"), max_rounds=3))
+
+
+def test_closure_all_row_breaker_raises(spark):
+    """The row-count circuit breaker trips before materializing a
+    quadratic closure."""
+    import pytest
+
+    rows = [(f"c{i}", "p", f"c{i + 1}") for i in range(9)]
+    t = _triples_df(spark, rows)
+    with pytest.raises(RuntimeError, match="max_rows"):
+        paths.evaluate(t, paths.closure_all(paths.pred("p"), max_rows=12))
