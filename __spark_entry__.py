@@ -395,6 +395,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": text.token_stats,
         "text_quality": text.quality_scores,
         "text_langid": text.language_id,
+        # v3: Cavnar-Trenkle character-trigram profiles, 20 languages,
+        # over the planted multilingual fixture (the synthetic corpus
+        # text is English-ish for every declared lang, so ground truth
+        # must be planted — same policy as sim_embedding_neardup)
+        "text_langid_trigram": text.language_id_trigram_planted,
         "text_fingerprint": text.fingerprints,
         # --- multimodal plumbing ---
         "mm_payload_features": multimodal.payload_features,
@@ -491,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": text.token_stats_sql(),
         "text_quality": text.quality_scores_sql(),
         "text_langid": text.language_id_sql(),
+        "text_langid_trigram": text.language_id_trigram_sql(),
         "text_fingerprint": text.fingerprints_sql(),
         "mm_payload_features": multimodal.payload_features_sql(),
         "mm_decoded_features": multimodal.decoded_features_sql(),

@@ -52,6 +52,144 @@ STOPWORDS = sorted({w for words in LANG_MARKERS.values() for w in words})
 FINGERPRINT_N = 5
 WINNOW_WINDOW = 4  # winnowing window (Schleimer et al., SIGMOD'03)
 
+# --- v3 language ID: character-trigram profiles (Cavnar & Trenkle,
+# "N-Gram-Based Text Categorization", SDAIR'94). 20 languages; each
+# profile is the top-ranked trigrams of the language's function-word
+# list (public common-word sets, all lowercase so no engine-dependent
+# case folding is involved), and classification is the out-of-place
+# rank distance between a document's top trigrams and each profile.
+TRIGRAM_WORDS = {
+    "ca": ["el", "la", "els", "les", "i", "és", "un", "una", "que", "de",
+           "no", "en", "es", "del", "per", "amb", "al", "més", "com",
+           "dels", "això", "hi", "ha", "són", "aquest", "aquesta",
+           "seva", "també", "quan", "molt", "però", "tot", "ja", "va",
+           "ser", "han", "fer", "està", "seu", "seus"],
+    "cs": ["a", "se", "na", "je", "že", "to", "do", "ve", "by", "ale",
+           "jako", "který", "jsem", "jsou", "byl", "pro", "tak", "co",
+           "nebo", "jeho", "když", "však", "než", "při", "jsme", "být",
+           "má", "ze", "si", "za", "před", "mezi", "tento", "která",
+           "které", "už", "ještě", "může", "také", "jen"],
+    "da": ["og", "i", "at", "det", "en", "den", "til", "er", "som", "på",
+           "de", "med", "han", "af", "for", "ikke", "der", "var", "mig",
+           "sig", "men", "et", "har", "om", "jeg", "du", "vi", "hun",
+           "skal", "kan", "ville", "efter", "over", "også", "hvor",
+           "eller", "nogle", "meget", "være", "blev"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+           "zu", "den", "von", "sie", "mit", "sich", "auf", "für", "als",
+           "auch", "es", "an", "werden", "aus", "dass", "wie", "ich",
+           "wir", "ihr", "sein", "haben", "wird", "wurde", "noch", "nur",
+           "schon", "aber", "oder", "wenn", "dann", "über", "durch"],
+    "en": ["the", "and", "of", "to", "in", "is", "it", "you", "that",
+           "he", "was", "for", "on", "are", "with", "as", "his", "they",
+           "be", "at", "have", "this", "from", "not", "she", "her",
+           "their", "there", "when", "where", "what", "who", "will",
+           "would", "can", "all", "about", "one", "were", "which"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "que", "de",
+           "no", "en", "se", "del", "por", "con", "para", "su", "al",
+           "lo", "como", "más", "pero", "este", "está", "son", "ser",
+           "tiene", "hay", "cuando", "donde", "muy", "también", "eso",
+           "ella", "ellos", "porque", "sobre", "entre", "hacia"],
+    "fi": ["ja", "on", "ei", "että", "hän", "se", "oli", "mutta", "kun",
+           "niin", "ovat", "jos", "myös", "kuin", "sen", "olla", "joka",
+           "hänen", "mitä", "tämä", "sitä", "ole", "vain", "minä",
+           "mukaan", "jälkeen", "kanssa", "vuonna", "sitten", "täällä",
+           "paljon", "hyvin", "kaikki", "jotka", "voi", "nyt", "vielä",
+           "sekä", "tai", "jossa"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "que",
+           "il", "de", "pas", "pour", "sur", "avec", "au", "du", "ce",
+           "se", "qui", "ne", "sont", "mais", "nous", "je", "tu", "elle",
+           "été", "être", "ont", "fait", "très", "bien", "aussi", "tout",
+           "ses", "leur", "dont", "vers", "près"],
+    "hr": ["je", "i", "u", "se", "na", "da", "su", "za", "od", "s",
+           "koji", "što", "ali", "ili", "kao", "bio", "biti", "ne",
+           "sam", "smo", "oni", "ovo", "kada", "nije", "ima", "može",
+           "samo", "već", "bilo", "njegov", "njih", "ovdje", "gdje",
+           "jedan", "jedna", "prema", "nakon", "zbog", "kroz", "dok"],
+    "hu": ["a", "az", "és", "hogy", "nem", "is", "egy", "van", "volt",
+           "meg", "de", "ez", "el", "csak", "már", "ki", "még", "mint",
+           "vagy", "ha", "azt", "minden", "lesz", "lehet", "nagyon",
+           "itt", "ott", "mert", "ezt", "arra", "erre", "után", "előtt",
+           "mellett", "között", "kell", "voltak", "amikor", "hogyan"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "dalam", "akan", "pada", "juga", "saya", "ke", "bisa",
+           "ada", "mereka", "sudah", "atau", "kita", "tersebut", "orang",
+           "lebih", "ialah", "ketika", "karena", "seperti", "sangat",
+           "masih", "hanya", "telah", "tetapi", "antara", "banyak",
+           "tahun", "terhadap", "sebagai", "bahwa"],
+    "it": ["il", "la", "le", "è", "un", "una", "che", "di", "non", "in",
+           "si", "per", "con", "del", "da", "al", "sono", "come",
+           "anche", "ma", "se", "questo", "della", "più", "era", "hanno",
+           "essere", "questa", "gli", "dei", "delle", "nella", "sulla",
+           "molto", "dove", "quando", "perché", "cosa", "verso",
+           "vicino"],
+    "nl": ["de", "het", "een", "en", "is", "niet", "van", "te", "dat",
+           "die", "in", "op", "zijn", "met", "voor", "er", "maar", "om",
+           "aan", "door", "ook", "als", "bij", "naar", "ik", "je", "we",
+           "ze", "hij", "wat", "nog", "wel", "kan", "dan", "deze",
+           "worden", "werd", "over", "onder", "tussen"],
+    "no": ["og", "i", "det", "at", "en", "et", "den", "til", "er", "som",
+           "på", "de", "med", "han", "av", "ikke", "der", "så", "var",
+           "meg", "seg", "men", "har", "om", "jeg", "du", "vi", "hun",
+           "skal", "kan", "ville", "etter", "over", "også", "hvor",
+           "eller", "noen", "mye", "være", "ble"],
+    "pl": ["i", "w", "się", "na", "nie", "że", "jest", "do", "to", "z",
+           "co", "tak", "jak", "ale", "po", "czy", "tym", "być", "tylko",
+           "już", "może", "przez", "dla", "przy", "jego", "która",
+           "które", "kiedy", "gdzie", "bardzo", "jeszcze", "był", "była",
+           "było", "są", "będzie", "nad", "pod", "żeby", "więc"],
+    "pt": ["o", "a", "os", "as", "e", "é", "um", "uma", "que", "de",
+           "não", "em", "se", "do", "da", "por", "com", "para", "ao",
+           "como", "mais", "mas", "foi", "pelo", "você", "ele", "ela",
+           "nós", "eles", "está", "são", "ser", "ter", "quando", "onde",
+           "muito", "já", "também", "isso", "perto"],
+    "ro": ["și", "de", "în", "a", "la", "cu", "pe", "este", "un", "o",
+           "că", "nu", "se", "din", "mai", "care", "ce", "pentru",
+           "dar", "sunt", "fost", "sau", "când", "după", "avea", "fi",
+           "era", "să", "el", "ea", "noi", "lor", "unde", "cum",
+           "foarte", "două", "către", "între", "acest", "fiecare"],
+    "sk": ["a", "sa", "na", "je", "že", "to", "do", "vo", "by", "ale",
+           "ako", "ktorý", "som", "sú", "bol", "pre", "tak", "čo",
+           "alebo", "jeho", "keď", "však", "než", "pri", "sme", "byť",
+           "má", "zo", "si", "za", "pred", "medzi", "tento", "ktorá",
+           "ktoré", "už", "ešte", "môže", "bola", "boli"],
+    "sv": ["och", "att", "det", "som", "en", "på", "är", "av", "för",
+           "med", "den", "till", "inte", "om", "har", "de", "ett",
+           "han", "men", "var", "sig", "från", "vi", "så", "jag", "du",
+           "hon", "ska", "kan", "skulle", "efter", "över", "också",
+           "där", "eller", "några", "mycket", "vara", "blev", "vid"],
+    "tr": ["bir", "ve", "bu", "da", "ne", "için", "ile", "mi", "ama",
+           "gibi", "daha", "çok", "sonra", "kadar", "değil", "olarak",
+           "en", "ben", "sen", "onun", "var", "yok", "diye", "şey",
+           "ise", "bana", "beni", "onlar", "biz", "siz", "her", "hiç",
+           "nasıl", "neden", "zaman", "yıl", "yeni", "büyük", "olan",
+           "şimdi"],
+}
+TRIGRAM_LANGS = sorted(TRIGRAM_WORDS)
+PROFILE_SIZE = 40   # top-K trigrams per language profile
+DOC_TOP = 30        # top-K trigrams per document compared to profiles
+PLANT_WORDS = 25    # words per planted sentence
+
+
+def _word_trigrams(word: str) -> list[str]:
+    padded = f" {word} "
+    return [padded[i:i + 3] for i in range(len(padded) - 2)]
+
+
+def trigram_profiles() -> dict[str, dict[str, int]]:
+    """lang -> {trigram: rank (1-based)}: the top PROFILE_SIZE trigrams
+    of the language's word list by (count desc, trigram asc) — computed
+    deterministically in Python and shared as literal constants by the
+    Spark operator AND the DuckDB oracle (single source of truth)."""
+    profiles: dict[str, dict[str, int]] = {}
+    for lang, words in TRIGRAM_WORDS.items():
+        counts: dict[str, int] = {}
+        for w in words:
+            for tg in _word_trigrams(w):
+                counts[tg] = counts.get(tg, 0) + 1
+        ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        profiles[lang] = {tg: i + 1 for i, (tg, _) in enumerate(ordered[:PROFILE_SIZE])}
+    return profiles
+
 
 def _toks():
     return F.split(F.lower(F.col("text")), " ")
@@ -158,6 +296,219 @@ s AS (SELECT doc_id, declared_lang, {", ".join(score_cols)} FROM d)
 SELECT doc_id, declared_lang, {", ".join(f"score_{lang}" for lang in sorted(LANG_MARKERS))},
        CASE WHEN {best} = 0 THEN 'und' {' '.join(case_parts)} END AS lang_guess
 FROM s"""
+
+
+def planted_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multilingual fixture over the documents table:
+    doc k gets a PLANT_WORDS-word sentence in TRIGRAM_LANGS[k % 20],
+    words cycled from the language's list starting at offset
+    (k // 20) % len(words). The synthetic corpus text is English-ish
+    for every declared lang (TESTDATA.md), so ground truth for
+    language-ID accuracy has to be planted — same policy as the
+    embedding near-dup planted twins. Pure column expressions; the
+    oracle rebuilds the identical sentences in SQL from the shared
+    word lists."""
+    docs = read_table(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("long")
+    lang_arr = F.array(*[F.lit(lang) for lang in TRIGRAM_LANGS])
+    words_arr = F.array(
+        *[
+            F.array(*[F.lit(w) for w in TRIGRAM_WORDS[lang]])
+            for lang in TRIGRAM_LANGS
+        ]
+    )
+    li = (k % len(TRIGRAM_LANGS)).cast("int")
+    words = F.element_at(words_arr, li + 1)
+    shift = (k / len(TRIGRAM_LANGS)).cast("long") % F.size(words)
+    sentence = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PLANT_WORDS - 1)),
+            lambda j: F.element_at(
+                words, ((shift + j) % F.size(words)).cast("int") + 1
+            ),
+        ),
+        " ",
+    )
+    return docs.select(
+        "doc_id",
+        F.element_at(lang_arr, li + 1).alias("true_lang"),
+        sentence.alias("text"),
+    )
+
+
+def planted_language_docs_sql() -> str:
+    langs = ", ".join(f"'{lang}'" for lang in TRIGRAM_LANGS)
+    words = ", ".join(
+        "[" + ", ".join(f"'{w}'" for w in TRIGRAM_WORDS[lang]) + "]"
+        for lang in TRIGRAM_LANGS
+    )
+    n = len(TRIGRAM_LANGS)
+    return f"""
+  SELECT doc_id,
+         ([{langs}])[1 + CAST(doc_id AS BIGINT) % {n}] AS true_lang,
+         array_to_string(
+           list_transform(range(0, {PLANT_WORDS}),
+             j -> ([{words}])[1 + CAST(doc_id AS BIGINT) % {n}]
+                  [1 + CAST(((CAST(doc_id AS BIGINT) // {n})
+                       % len(([{words}])[1 + CAST(doc_id AS BIGINT) % {n}])
+                       + j)
+                      % len(([{words}])[1 + CAST(doc_id AS BIGINT) % {n}]) AS INT)]),
+           ' ') AS text
+  FROM documents
+"""
+
+
+def language_id_trigram(docs: DataFrame) -> DataFrame:
+    """Character-trigram language ID (Cavnar & Trenkle SDAIR'94 shape):
+
+    1. tokens = unicode-letter runs of lower(text); each token padded
+       to " tok " contributes its length-3 substrings
+    2. per-document trigram counts -> top DOC_TOP by (count desc,
+       trigram asc) with 1-based ranks (deterministic total order, so
+       both engines rank identically)
+    3. out-of-place distance to each language profile: matched trigram
+       costs |doc_rank - profile_rank|; each of the document's top
+       trigrams missing from a profile costs PROFILE_SIZE
+    4. guess = argmin distance, ties -> lexicographically first lang;
+       no profile hit at all -> 'und'
+
+    Relational shape (scale notes): trigram explosion is linear in
+    text size with map-side partial aggregation; the profile table is
+    ~20 x 40 literal rows joined BROADCAST; langs with zero matched
+    trigrams are never materialized (a matched trigram costs at most
+    PROFILE_SIZE - 1 < the miss penalty, so an unmatched language can
+    never win the argmin) — per-document work is bounded by
+    DOC_TOP x |matching profiles|, not |languages| x |trigrams|.
+
+    Input: (doc_id, text). Output: (doc_id, lang_guess, dist) — join
+    back on doc_id for any passthrough columns."""
+    from pyspark.sql.window import Window
+
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"(\p{L}+)"), 1)
+    tgs = F.flatten(
+        F.transform(
+            toks,
+            lambda t: F.transform(
+                # padded token " t " has length(t) trigrams, 1-indexed
+                F.sequence(F.lit(1), F.length(t)),
+                lambda i: F.substring(F.concat(F.lit(" "), t, F.lit(" ")), i, 3),
+            ),
+        )
+    )
+    exploded = docs.select("doc_id", F.explode(tgs).alias("tg"))
+    counts = exploded.groupBy("doc_id", "tg").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("tg"))
+    doc_top = (
+        counts.withColumn("r_d", F.row_number().over(w))
+        .where(F.col("r_d") <= DOC_TOP)
+        .select("doc_id", "tg", "r_d")
+    )
+    n_top = doc_top.groupBy("doc_id").agg(F.count("*").alias("n_top"))
+
+    profiles = trigram_profiles()
+    prof_rows = [
+        (lang, tg, rank)
+        for lang in TRIGRAM_LANGS
+        for tg, rank in sorted(profiles[lang].items())
+    ]
+    spark = docs.sparkSession
+    prof = spark.createDataFrame(prof_rows, "lang string, tg string, r_p int")
+
+    matched = doc_top.join(F.broadcast(prof), "tg").select(
+        "doc_id", "lang", F.abs(F.col("r_d") - F.col("r_p")).alias("pen")
+    )
+    dists = (
+        matched.groupBy("doc_id", "lang")
+        .agg(F.sum("pen").alias("s"), F.count("*").alias("m"))
+        .join(n_top, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("s") + (F.col("n_top") - F.col("m")) * PROFILE_SIZE)
+            .cast("long")
+            .alias("dist"),
+        )
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(F.asc("dist"), F.asc("lang"))
+    best = (
+        dists.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("lang_guess"), "dist")
+    )
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lang_guess"), F.lit("und")).alias("lang_guess"),
+            "dist",
+        )
+    )
+
+
+def language_id_trigram_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: trigram language ID over the planted multilingual
+    fixture, with ground truth and a correctness flag per document —
+    accuracy is directly aggregable from the oracle-checked output."""
+    planted = planted_language_docs(spark, sf_dir)
+    guessed = language_id_trigram(planted)
+    return planted.select("doc_id", "true_lang").join(guessed, "doc_id").select(
+        "doc_id",
+        "true_lang",
+        "lang_guess",
+        "dist",
+        (F.col("true_lang") == F.col("lang_guess")).cast("int").alias("correct"),
+    )
+
+
+def language_id_trigram_sql() -> str:
+    """DuckDB oracle for language_id_trigram_planted: identical
+    tokenization, trigram ranks, profile distances, and tie-breaks."""
+    profiles = trigram_profiles()
+    prof_values = ", ".join(
+        f"('{lang}', '{tg}', {rank})"
+        for lang in TRIGRAM_LANGS
+        for tg, rank in sorted(profiles[lang].items())
+    )
+    return f"""
+WITH planted AS ({planted_language_docs_sql()}),
+tok AS (
+  SELECT doc_id, true_lang,
+         unnest(regexp_extract_all(lower(text), '(\\p{{L}}+)', 1)) AS t
+  FROM planted),
+tg AS (
+  SELECT doc_id, true_lang,
+         unnest(list_transform(range(1, length(t) + 1),
+                               i -> substr(' ' || t || ' ', CAST(i AS INT), 3))) AS tg
+  FROM tok),
+cnt AS (
+  SELECT doc_id, true_lang, tg, COUNT(*) AS cnt
+  FROM tg GROUP BY doc_id, true_lang, tg),
+ranked AS (
+  SELECT doc_id, true_lang, tg,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tg ASC) AS r_d
+  FROM cnt),
+doc_top AS (SELECT * FROM ranked WHERE r_d <= {DOC_TOP}),
+n_top AS (SELECT doc_id, COUNT(*) AS n_top FROM doc_top GROUP BY doc_id),
+prof(lang, tg, r_p) AS (VALUES {prof_values}),
+matched AS (
+  SELECT d.doc_id, p.lang, abs(d.r_d - p.r_p) AS pen
+  FROM doc_top d JOIN prof p USING (tg)),
+dists AS (
+  SELECT m.doc_id, m.lang,
+         CAST(SUM(m.pen) + (ANY_VALUE(n.n_top) - COUNT(*)) * {PROFILE_SIZE}
+              AS BIGINT) AS dist
+  FROM matched m JOIN n_top n USING (doc_id)
+  GROUP BY m.doc_id, m.lang),
+best AS (
+  SELECT doc_id, lang AS lang_guess, dist,
+         row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn
+  FROM dists)
+SELECT p.doc_id, p.true_lang,
+       COALESCE(b.lang_guess, 'und') AS lang_guess,
+       b.dist,
+       CAST(p.true_lang = COALESCE(b.lang_guess, 'und') AS INT) AS correct
+FROM planted p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)"""
 
 
 def fingerprints(spark: SparkSession, sf_dir: str, n: int = FINGERPRINT_N,

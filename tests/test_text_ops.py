@@ -108,3 +108,138 @@ def test_winnowing_density(spark, tmp_path):
     row = T.fingerprints(spark, sf_dir).collect()[0]
     assert row["n_shingles"] == 400 - T.FINGERPRINT_N + 1
     assert row["n_fingerprints"] < row["n_shingles"] * 0.6
+
+
+# --- v3 trigram language ID (Cavnar-Trenkle shape, 20 languages) ------
+
+# natural sentences NOT drawn verbatim from the profile word lists —
+# the honest accuracy check (the planted driver fixture builds its
+# sentences from the same lists the profiles derive from, so its
+# accuracy is near-1.0 by construction; these are out-of-sample)
+NATURAL = {
+    # ~25-35 words each: C-T profiles operate on ~300-char samples
+    # (SDAIR'94 uses article-length inputs); ten-word snippets are
+    # below the method's design regime and are not claimed
+    "en": "yesterday the children walked to the old school near the river and "
+          "they saw that the water was very high because it had rained for "
+          "three days and nobody could cross the small wooden bridge",
+    "de": "gestern gingen die kinder durch den alten wald zur kleinen schule "
+          "und sie sahen dass das wasser sehr hoch war weil es drei tage lang "
+          "geregnet hatte und niemand die kleine brücke überqueren konnte",
+    "fr": "hier les enfants marchaient vers la vieille école près de la "
+          "rivière et ils ont vu que l'eau était très haute parce qu'il avait "
+          "plu pendant trois jours et personne ne pouvait traverser le pont",
+    "es": "ayer los niños caminaron hacia la vieja escuela cerca del río y "
+          "vieron que el agua estaba muy alta porque había llovido durante "
+          "tres días y nadie podía cruzar el pequeño puente de madera",
+    "it": "ieri i bambini camminavano verso la vecchia scuola vicino al fiume "
+          "e hanno visto che l'acqua era molto alta perché aveva piovuto per "
+          "tre giorni e nessuno poteva attraversare il piccolo ponte",
+    "pt": "ontem as crianças caminharam para a velha escola perto do rio e "
+          "viram que a água estava muito alta porque tinha chovido durante "
+          "três dias e ninguém podia atravessar a pequena ponte de madeira",
+    "nl": "gisteren liepen de kinderen naar de oude school bij de rivier en "
+          "ze zagen dat het water erg hoog stond omdat het drie dagen had "
+          "geregend en niemand de kleine houten brug kon oversteken",
+    "sv": "igår gick barnen till den gamla skolan vid den lilla floden och de "
+          "såg att vattnet stod mycket högt eftersom det hade regnat i tre "
+          "dagar och ingen kunde gå över den lilla träbron",
+    "fi": "eilen lapset kävelivät vanhaan kouluun joen varrella ja he näkivät "
+          "että vesi oli hyvin korkealla koska oli satanut kolme päivää eikä "
+          "kukaan voinut ylittää pientä puista siltaa aamulla",
+    "pl": "wczoraj dzieci szły do starej szkoły nad małą rzeką przez las i "
+          "zobaczyły że woda jest bardzo wysoka ponieważ padało przez trzy "
+          "dni i nikt nie mógł przejść przez mały drewniany most",
+    "cs": "včera děti šly do staré školy u malé řeky přes tmavý les a viděly "
+          "že voda je velmi vysoko protože tři dny pršelo a nikdo nemohl "
+          "přejít přes malý dřevěný most u mlýna",
+    "tr": "dün çocuklar nehrin yanındaki okula doğru yürüdüler ve suyun çok "
+          "yüksek olduğunu gördüler çünkü üç gün boyunca yağmur yağmıştı ve "
+          "kimse küçük ahşap köprüden geçemiyordu bu yüzden eve döndüler",
+    "id": "kemarin anak anak berjalan ke sekolah tua di dekat sungai dan "
+          "mereka melihat bahwa airnya sangat tinggi karena hujan turun "
+          "selama tiga hari dan tidak ada yang bisa menyeberangi jembatan",
+    "hu": "tegnap a gyerekek a régi iskolába mentek a kis folyó mellett és "
+          "látták hogy a víz nagyon magas mert három napig esett az eső és "
+          "senki sem tudott átmenni a kis fahídon",
+    "ro": "ieri copiii au mers la școala veche de lângă râul cel mic și au "
+          "văzut că apa era foarte mare pentru că plouase trei zile și "
+          "nimeni nu putea trece peste podul mic de lemn",
+}
+
+
+def _trigram_guesses(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r["lang_guess"]
+            for r in T.language_id_trigram(df).collect()}
+
+
+def test_trigram_langid_on_natural_sentences(spark):
+    """Out-of-sample accuracy on hand-written natural sentences: the
+    C-T profiles must identify clearly most of the 15 languages (some
+    closely-related pairs — es/pt, cs/sk, da/no — legitimately
+    confuse at 10 words; require >= 80% and en/de/fr exact)."""
+    items = sorted(NATURAL.items())
+    rows = [(i, txt) for i, (_, txt) in enumerate(items)]
+    got = _trigram_guesses(spark, rows)
+    hits = sum(1 for i, (lang, _) in enumerate(items) if got[i] == lang)
+    acc = hits / len(items)
+    assert acc >= 0.8, (acc, {items[i][0]: got[i] for i in range(len(items))})
+    for i, (lang, _) in enumerate(items):
+        if lang in ("en", "de", "fr"):
+            assert got[i] == lang, (lang, got[i])
+
+
+def test_trigram_langid_und_and_null(spark):
+    got = _trigram_guesses(
+        spark, [(1, "zzzz qqqq xxxx"), (2, ""), (3, None)]
+    )
+    # no trigram of these ever appears in any profile -> 'und'
+    assert got[2] == "und" and got[3] == "und"
+
+
+def test_trigram_extraction_matches_python_reference(spark):
+    """The padded-token trigram multiset (the operator's step 1-2)
+    equals the Python reference used to build profiles."""
+    import re
+    from collections import Counter
+
+    text = "héllo wörld çava the on a"
+    toks = re.findall(r"[^\W\d_]+", text.lower(), re.UNICODE)
+    want = Counter(
+        tg for t in toks for tg in T._word_trigrams(t)
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    toks_c = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"(\p{L}+)"), 1)
+    tgs = F.flatten(
+        F.transform(
+            toks_c,
+            lambda t: F.transform(
+                F.sequence(F.lit(1), F.length(t)),
+                lambda i: F.substring(F.concat(F.lit(" "), t, F.lit(" ")), i, 3),
+            ),
+        )
+    )
+    got = Counter(df.select(F.explode(tgs).alias("tg")).toPandas()["tg"])
+    assert got == want
+
+
+def test_trigram_profiles_deterministic_and_sized():
+    p1, p2 = T.trigram_profiles(), T.trigram_profiles()
+    assert p1 == p2
+    assert set(p1) == set(T.TRIGRAM_LANGS) and len(p1) == 20
+    for lang, prof in p1.items():
+        assert 1 <= len(prof) <= T.PROFILE_SIZE
+        assert sorted(prof.values()) == list(range(1, len(prof) + 1)), lang
+
+
+def test_planted_fixture_accuracy_is_perfect(spark):
+    """The planted driver fixture (in-sample by design) must classify
+    perfectly — it exists to give the oracle a ground-truth column,
+    and any slip means the operator or fixture drifted."""
+    got = T.language_id_trigram_planted(spark, "/root/testdata/sf0.001")
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r["correct"] == 1 for r in rows)
