@@ -46,3 +46,24 @@ def test_nquads_error_channel(tmp_path, spark):
     tagged = good.where(F.col("obj_lang") == "en").first()
     assert tagged["graph"] == "http://ex.org/g"
     assert tagged["obj_type"] is None
+
+
+def test_language_tag_case_asymmetry_bug_compat():
+    """The serializer emits language tags verbatim (any case) but the
+    parser grammar only admits lowercase tags — NQuads.php:87
+    `@([a-z]+(?:-[a-z0-9]+)*)` vs the case-preserving serializer
+    (NQuads.php:52). Round-tripping an uppercase tag therefore FAILS
+    in the reference, and this kernel mirrors that asymmetry."""
+    import pytest
+
+    from jsonld_spark.kernel.exceptions import InvalidQuadError
+    from jsonld_spark.kernel.nquads import nquads_parse, nquads_serialize
+    from jsonld_spark.kernel.rdf import Quad
+
+    q = Quad(None, "http://e/n", "http://e/p", "literal", "x", None, "FR")
+    line = nquads_serialize([q])
+    assert line.strip() == '<http://e/n> <http://e/p> "x"@FR .'
+    with pytest.raises(InvalidQuadError):
+        nquads_parse(line)
+    # the lowercase form round-trips
+    assert list(nquads_parse(line.replace("@FR", "@fr")))[0].obj_lang == "fr"

@@ -68,6 +68,14 @@ def test_expand_cases_roundtrip_through_compact():
         with open(os.path.join(FIXTURE_DIR, entry["expect"]), encoding="utf-8") as fh:
             expected = json.load(fh)
         ctx = doc.get("@context") if isinstance(doc, dict) else None
+        # @base:null cases keep RELATIVE @ids in their golden; the
+        # compact API (like JsonLD::compact) first re-expands its input
+        # with the document base — without the in-document @base:null
+        # the relative @id resolves, so these cases cannot round-trip
+        # through the golden by design
+        ctx_list = ctx if isinstance(ctx, list) else [ctx]
+        if any(isinstance(c, dict) and c.get("@base", "") is None for c in ctx_list):
+            continue
         compacted = api.compact(json.dumps(expected),
                                 context=json.dumps({"@context": ctx or {}}),
                                 base=entry["base"])

@@ -1492,6 +1492,566 @@ COMPACT += [
 ]
 
 
+# --------------------------------------------------------------------------
+# Round-4 additions (VERDICT r3 #2): list-of-lists permutations,
+# @reverse combos, relative-IRI @base pathologies, multi-graph blank-
+# node sharing — the official-suite shapes the authored set did not yet
+# model. Goldens hand-derived from the reference source as before.
+# --------------------------------------------------------------------------
+
+# --- A. list permutations --------------------------------------------------
+
+EXPAND += [
+    (
+        "nested array inside explicit @list flattens (array_merge)",
+        # expand() merges array items into the parent array
+        # (Processor.php:347-348), and the @list keyword's list-of-lists
+        # check (:711-714) only fires on surviving @list OBJECTS — so a
+        # raw nested array inside an explicit @list silently flattens
+        {"@id": EX + "n",
+         EX + "p": {"@list": [["a"], "b"]}},
+        [{"@id": EX + "n",
+          EX + "p": [{"@list": [{"@value": "a"}, {"@value": "b"}]}]}],
+    ),
+    (
+        "null entries inside @list are dropped, empty @list survives",
+        {"@id": EX + "n",
+         EX + "p": {"@list": ["a", None, "b"]},
+         EX + "q": {"@list": [None]}},
+        [{"@id": EX + "n",
+          EX + "p": [{"@list": [{"@value": "a"}, {"@value": "b"}]}],
+          EX + "q": [{"@list": []}]}],
+    ),
+    (
+        "@index rides along on a @list object",
+        # the numProps decrement for @index (Processor.php:511-513)
+        # happens before the @list extra-property check (:569-574)
+        {"@id": EX + "n",
+         EX + "p": {"@list": ["a"], "@index": "i0"}},
+        [{"@id": EX + "n",
+          EX + "p": [{"@index": "i0", "@list": [{"@value": "a"}]}]}],
+    ),
+    (
+        "@set with @index collapses and DROPS the index (bug-compat)",
+        # @set optimization replaces the whole object with the array
+        # (Processor.php:576-578), discarding the @index sibling
+        {"@id": EX + "n",
+         EX + "p": {"@set": ["a"], "@index": "i0"}},
+        [{"@id": EX + "n", EX + "p": [{"@value": "a"}]}],
+    ),
+    (
+        "top-level @list is ignored and the node free-floats away",
+        # @list under a null active property returns without merging
+        # (Processor.php:700-702); the remaining @id-only node is then
+        # removed as free-floating (:496-503)
+        [{"@id": EX + "n", "@list": ["a"]},
+         {"@id": EX + "m", EX + "p": "kept"}],
+        [{"@id": EX + "m", EX + "p": [{"@value": "kept"}]}],
+    ),
+]
+
+ERRORS += [
+    (
+        "list object inside a @list-container term value",
+        {"@context": {"t": {"@id": EX + "p", "@container": "@list"}},
+         "@id": EX + "n", "t": [{"@list": ["a"]}]},
+        "list of lists",  # Processor.php:335-343 (object with @list)
+    ),
+    (
+        "list object inside an explicit @list",
+        {"@id": EX + "n", EX + "p": {"@list": [{"@list": ["a"]}]}},
+        "list of lists",  # Processor.php:711-714
+    ),
+    (
+        "nested array under a @list-container term",
+        {"@context": {"t": {"@id": EX + "p", "@container": "@list"}},
+         "@id": EX + "n", "t": [["a"], ["b"]]},
+        "list of lists",  # Processor.php:335-343 (item is an array)
+    ),
+]
+
+TORDF += [
+    (
+        "@list with @index: index ignored, chain emitted",
+        {"@id": EX + "n", EX + "p": {"@list": ["a", "b"], "@index": "i0"}},
+        [f'<{EX}n> <{EX}p> _:b0 .',
+         f'_:b0 <{RDF}first> "a" .',
+         f'_:b0 <{RDF}rest> _:b1 .',
+         f'_:b1 <{RDF}first> "b" .',
+         f'_:b1 <{RDF}rest> <{RDF}nil> .'],
+        {},
+    ),
+]
+
+# --- B. @reverse combos ----------------------------------------------------
+
+EXPAND += [
+    (
+        "reverse term collects values under @reverse",
+        {"@context": {"children": {"@reverse": EX + "parent"}},
+         "@id": EX + "a",
+         "children": [{"@id": EX + "b"}, {"@id": EX + "c"}]},
+        [{"@id": EX + "a",
+          "@reverse": {EX + "parent": [{"@id": EX + "b"},
+                                       {"@id": EX + "c"}]}}],
+    ),
+    (
+        "reverse term with @container @set behaves like plain reverse",
+        {"@context": {"children": {"@reverse": EX + "parent",
+                                   "@container": "@set"}},
+         "@id": EX + "a", "children": [{"@id": EX + "b"}]},
+        [{"@id": EX + "a",
+          "@reverse": {EX + "parent": [{"@id": EX + "b"}]}}],
+    ),
+    (
+        "reverse term with @type @id coerces string values",
+        {"@context": {"children": {"@reverse": EX + "parent",
+                                   "@type": "@id"}},
+         "@id": EX + "a", "children": EX + "b"},
+        [{"@id": EX + "a",
+          "@reverse": {EX + "parent": [{"@id": EX + "b"}]}}],
+    ),
+    (
+        "@reverse keyword map with term coercion inside",
+        {"@context": {"knows": {"@id": EX + "knows", "@type": "@id"}},
+         "@id": EX + "a", "@reverse": {"knows": EX + "b"}},
+        [{"@id": EX + "a",
+          "@reverse": {EX + "knows": [{"@id": EX + "b"}]}}],
+    ),
+    (
+        "reverse term inside @reverse map goes forward again",
+        # double reversal: the inner expansion files the value under
+        # @reverse, and the @reverse keyword handler merges that back
+        # as a FORWARD property (Processor.php:738-746)
+        {"@context": {"children": {"@reverse": EX + "p"}},
+         "@id": EX + "a", "@reverse": {"children": {"@id": EX + "b"}}},
+        [{"@id": EX + "a", EX + "p": [{"@id": EX + "b"}]}],
+    ),
+]
+
+ERRORS += [
+    (
+        "term definition with both @reverse and @id",
+        {"@context": {"t": {"@reverse": EX + "p", "@id": EX + "q"}},
+         "@id": EX + "n", "t": {"@id": EX + "m"}},
+        "invalid reverse property",  # Processor.php:1619-1625
+    ),
+    (
+        "reverse term with @list container",
+        {"@context": {"t": {"@reverse": EX + "p", "@container": "@list"}},
+         "@id": EX + "n", "t": {"@id": EX + "m"}},
+        "invalid reverse property",  # Processor.php:1627-1635
+    ),
+    (
+        "literal value under a reverse term",
+        {"@context": {"children": {"@reverse": EX + "parent"}},
+         "@id": EX + "a", "children": "just a string"},
+        "invalid reverse property value",  # Processor.php:480-490
+    ),
+    (
+        "list value under a reverse term",
+        {"@context": {"children": {"@reverse": EX + "parent"}},
+         "@id": EX + "a", "children": {"@list": [{"@id": EX + "b"}]}},
+        "invalid reverse property value",  # Processor.php:480-490
+    ),
+    (
+        "literal value inside an @reverse map",
+        {"@id": EX + "a", "@reverse": {EX + "p": "lit"}},
+        "invalid reverse property value",  # Processor.php:776-783
+    ),
+    (
+        "keyword redefinition in context",
+        {"@context": {"@id": EX + "x"}, "@id": EX + "n"},
+        "keyword redefinition",  # Processor.php:1606-1608
+    ),
+    (
+        "reverse term expanding to a relative IRI",
+        {"@context": {"t": {"@reverse": "rel"}},
+         "@id": EX + "n", "t": {"@id": EX + "m"}},
+        "invalid IRI mapping",  # Processor.php:1655-1660
+    ),
+]
+
+TORDF += [
+    (
+        "@reverse inverts the emitted triple",
+        {"@id": EX + "a", "@reverse": {EX + "p": {"@id": EX + "b"}}},
+        [f'<{EX}b> <{EX}p> <{EX}a> .'],
+        {},
+    ),
+]
+
+COMPACT += [
+    (
+        "@reverse compacts onto a reverse term",
+        [{"@id": EX + "a",
+          "@reverse": {EX + "p": [{"@id": EX + "b"}]}}],
+        {"children": {"@reverse": EX + "p", "@type": "@id"}},
+        {"@context": {"children": {"@reverse": EX + "p", "@type": "@id"}},
+         "@id": EX + "a", "children": EX + "b"},
+        {},
+    ),
+    (
+        "@reverse with no matching reverse term stays under @reverse",
+        [{"@id": EX + "a",
+          "@reverse": {EX + "p": [{"@id": EX + "b"}]}}],
+        {"name": EX + "name"},
+        {"@context": {"name": EX + "name"},
+         "@id": EX + "a",
+         "@reverse": {EX + "p": {"@id": EX + "b"}}},
+        {},
+    ),
+]
+
+FLATTEN += [
+    (
+        "reverse term values become forward edges on the pointing node",
+        # the subject node a ends up @id-only and is pruned
+        # (hasNodeProperties filter, Processor.php:2115-2117, 2969-2972)
+        {"@context": {"children": {"@reverse": EX + "parent"}},
+         "@id": EX + "a", "children": [{"@id": EX + "b"}]},
+        [{"@id": EX + "b", EX + "parent": [{"@id": EX + "a"}]}],
+    ),
+]
+
+# --- C. relative-IRI @base pathologies ------------------------------------
+
+EXPAND += [
+    (
+        "relative @base resolves against the document base",
+        {"@context": {"@base": "sub/dir/",
+                      "p": {"@id": EX + "p", "@type": "@id"}},
+         "@id": "x", "p": "y"},
+        # document base = BASE + input filename; "sub/dir/" replaces
+        # the filename segment (RFC 3986 merge), so the result is
+        # filename-independent
+        [{"@id": BASE + "sub/dir/x",
+          EX + "p": [{"@id": BASE + "sub/dir/y"}]}],
+    ),
+    (
+        "empty-string @base resolves to the current base itself",
+        {"@context": [{"@base": "http://a/b/c/d"}, {"@base": ""},
+                      {"p": {"@id": EX + "p", "@type": "@id"}}],
+         "@id": "g", "p": "#s"},
+        [{"@id": "http://a/b/c/g",
+          EX + "p": [{"@id": "http://a/b/c/d#s"}]}],
+    ),
+    (
+        "chained relative @base compose left to right",
+        {"@context": [{"@base": "http://a/b/c/"}, {"@base": "../x/"},
+                      {"p": {"@id": EX + "p", "@type": "@id"}}],
+         "@id": "g", "p": "../h"},
+        [{"@id": "http://a/b/x/g", EX + "p": [{"@id": "http://a/b/h"}]}],
+    ),
+    (
+        "null @base leaves relative @id unresolved in expansion",
+        {"@context": {"@base": None, "p": EX + "p"},
+         "@id": "stays-relative", "p": "v"},
+        [{"@id": "stays-relative", EX + "p": [{"@value": "v"}]}],
+    ),
+    (
+        "fragment-bearing @base: fragment discarded on resolution",
+        {"@context": {"@base": "http://a/b#frag",
+                      "p": {"@id": EX + "p", "@type": "@id"}},
+         "@id": "g", "p": "#s"},
+        [{"@id": "http://a/g", EX + "p": [{"@id": "http://a/b#s"}]}],
+    ),
+    (
+        "authority-only @base merges onto a root slash",
+        {"@context": {"@base": "http://a",
+                      "p": {"@id": EX + "p", "@type": "@id"}},
+         "@id": "g", "p": "#s"},
+        [{"@id": "http://a/g", EX + "p": [{"@id": "http://a#s"}]}],
+    ),
+    (
+        "query-bearing @base: ?ref replaces query, path ref drops it",
+        {"@context": {"@base": "http://a/b?q=1",
+                      "p": {"@id": EX + "p", "@type": "@id"}},
+         "@id": "?y", "p": "g"},
+        [{"@id": "http://a/b?y", EX + "p": [{"@id": "http://a/g"}]}],
+    ),
+    (
+        "opaque (authority-less) urn @base: path ref replaces all",
+        # RFC 3986 merge without authority: no "/" in base path means
+        # the reference path simply replaces it -> "urn:g"
+        {"@context": {"@base": "urn:uuid:1234",
+                      "p": {"@id": EX + "p", "@type": "@id"}},
+         "@id": "#f", "p": "g"},
+        [{"@id": "urn:uuid:1234#f", EX + "p": [{"@id": "urn:g"}]}],
+    ),
+    (
+        "@vocab null resets vocab mapping mid-chain",
+        {"@context": [{"@vocab": EX + "v#", "keep": EX + "keep"},
+                      {"@vocab": None}],
+         "@id": EX + "n", "keep": "yes", "dropped": "no"},
+        # "dropped" no longer vocab-maps and is not an IRI -> skipped
+        [{"@id": EX + "n", EX + "keep": [{"@value": "yes"}]}],
+    ),
+    (
+        "@vocab '_:' produces blank-node properties",
+        {"@context": {"@vocab": "_:"},
+         "@id": EX + "n", "name": "x"},
+        [{"@id": EX + "n", "_:name": [{"@value": "x"}]}],
+    ),
+]
+
+ERRORS += [
+    (
+        "non-string @base",
+        {"@context": {"@base": 42}, "@id": EX + "n"},
+        "invalid base IRI",  # Processor.php:1546-1551
+    ),
+    (
+        "relative @base over a null base",
+        {"@context": [{"@base": None}, {"@base": "rel/"}],
+         "@id": EX + "n"},
+        "invalid base IRI",  # Processor.php:1553-1560
+    ),
+    (
+        "relative @vocab",
+        {"@context": {"@vocab": "rel"}, "@id": EX + "n"},
+        "invalid vocab mapping",  # Processor.php:1573-1580
+    ),
+]
+
+TORDF += [
+    (
+        "null @base: relative subjects are skipped in quad emission",
+        {"@context": {"@base": None},
+         "@graph": [{"@id": "relative-subject", EX + "p": "dropped"},
+                    {"@id": EX + "kept", EX + "p": "v"}]},
+        [f'<{EX}kept> <{EX}p> "v" .'],
+        {},
+    ),
+]
+
+# --- D. multi-graph blank-node sharing ------------------------------------
+
+EXPAND += [
+    (
+        "@graph alongside properties on the same node",
+        {"@id": EX + "g", EX + "p": "v",
+         "@graph": [{"@id": EX + "a", EX + "q": "w"}]},
+        [{"@id": EX + "g", EX + "p": [{"@value": "v"}],
+          "@graph": [{"@id": EX + "a", EX + "q": [{"@value": "w"}]}]}],
+    ),
+]
+
+FLATTEN += [
+    (
+        "one blank-node label shared across two named graphs",
+        # getBlankNodeId's mapping is document-global, so _:shared maps
+        # to the SAME fresh label in both graphs (Processor.php:2069-79)
+        {"@graph": [
+            {"@id": EX + "g1",
+             "@graph": [{"@id": "_:shared", EX + "p": "v1"}]},
+            {"@id": EX + "g2",
+             "@graph": [{"@id": "_:shared", EX + "q": "v2"}]}]},
+        [{"@id": EX + "g1",
+          "@graph": [{"@id": "_:b0", EX + "p": [{"@value": "v1"}]}]},
+         {"@id": EX + "g2",
+          "@graph": [{"@id": "_:b0", EX + "q": [{"@value": "v2"}]}]}],
+    ),
+    (
+        "blank node as graph name",
+        {"@graph": [
+            {"@id": "_:g", "@graph": [{"@id": EX + "a", EX + "p": "v"}]},
+            {"@id": EX + "n", EX + "q": {"@id": "_:g"}}]},
+        [{"@id": "_:b0",
+          "@graph": [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}]},
+         {"@id": EX + "n", EX + "q": [{"@id": "_:b0"}]}],
+    ),
+    (
+        "nested named graphs flatten to sibling graph nodes",
+        {"@id": EX + "g1",
+         "@graph": [{"@id": EX + "g2",
+                     "@graph": [{"@id": EX + "a", EX + "p": "v"}]}]},
+        # the g2 reference node inside g1's graph is @id-only and is
+        # filtered out (Processor.php:2108-2111) — the EMPTY @graph
+        # array on g1 survives (the g1 node then has 2 members)
+        [{"@id": EX + "g1", "@graph": []},
+         {"@id": EX + "g2",
+          "@graph": [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}]}],
+    ),
+    (
+        "same IRI subject kept separate per graph",
+        {"@graph": [
+            {"@id": EX + "s", EX + "p": "default"},
+            {"@id": EX + "g",
+             "@graph": [{"@id": EX + "s", EX + "q": "named"}]}]},
+        [{"@id": EX + "g",
+          "@graph": [{"@id": EX + "s", EX + "q": [{"@value": "named"}]}]},
+         {"@id": EX + "s", EX + "p": [{"@value": "default"}]}],
+    ),
+]
+
+TORDF += [
+    (
+        "blank label shared across graphs keeps one identity",
+        {"@graph": [
+            {"@id": EX + "g1",
+             "@graph": [{"@id": "_:shared", EX + "p": "v1"}]},
+            {"@id": EX + "g2",
+             "@graph": [{"@id": "_:shared", EX + "q": "v2"}]}]},
+        [f'_:b0 <{EX}p> "v1" <{EX}g1> .',
+         f'_:b0 <{EX}q> "v2" <{EX}g2> .'],
+        {},
+    ),
+    (
+        "blank node as graph label",
+        {"@graph": [
+            {"@id": "_:g", "@graph": [{"@id": EX + "a", EX + "p": "v"}]}]},
+        [f'<{EX}a> <{EX}p> "v" _:b0 .'],
+        {},
+    ),
+    (
+        "bnode object shared between default and named graph",
+        {"@graph": [
+            {"@id": EX + "a", EX + "p": {"@id": "_:x"}},
+            {"@id": EX + "g",
+             "@graph": [{"@id": "_:x", EX + "q": "v"}]}]},
+        [f'<{EX}a> <{EX}p> _:b0 .',
+         f'_:b0 <{EX}q> "v" <{EX}g> .'],
+        {},
+    ),
+    (
+        "nested named graphs: inner graph keeps its own name",
+        {"@id": EX + "g1",
+         "@graph": [{"@id": EX + "g2",
+                     "@graph": [{"@id": EX + "a", EX + "p": "v"}]}]},
+        [f'<{EX}a> <{EX}p> "v" <{EX}g2> .'],
+        {},
+    ),
+]
+
+FROMRDF += [
+    (
+        "bnode subject shared across two named graphs",
+        [f'_:shared <{EX}p> "v1" <{EX}g1> .',
+         f'_:shared <{EX}q> "v2" <{EX}g2> .'],
+        [{"@id": EX + "g1",
+          "@graph": [{"@id": "_:shared", EX + "p": [{"@value": "v1"}]}]},
+         {"@id": EX + "g2",
+          "@graph": [{"@id": "_:shared", EX + "q": [{"@value": "v2"}]}]}],
+        {},
+    ),
+    (
+        "blank graph label becomes a graph-name node",
+        [f'<{EX}a> <{EX}p> "v" _:g .'],
+        [{"@id": "_:g",
+          "@graph": [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}]}],
+        {},
+    ),
+]
+
+# --- E. container/alias permutations + language-tag case fidelity ---------
+
+EXPAND += [
+    (
+        "reverse term with @container @index (allowed combo)",
+        # index expansion stamps @index on the item (Processor.php:
+        # 441-442) before the reverse filing collects it
+        {"@context": {"children": {"@reverse": EX + "parent",
+                                   "@container": "@index"}},
+         "@id": EX + "a", "children": {"k": {"@id": EX + "b"}}},
+        [{"@id": EX + "a",
+          "@reverse": {EX + "parent": [{"@id": EX + "b",
+                                        "@index": "k"}]}}],
+    ),
+    (
+        "index-container item keeps its own @index over the map key",
+        # @index is only stamped when ABSENT (Processor.php:441-442)
+        {"@context": {"t": {"@id": EX + "p", "@container": "@index"}},
+         "@id": EX + "n", "t": {"k1": {"@id": EX + "b", "@index": "own"}}},
+        [{"@id": EX + "n",
+          EX + "p": [{"@id": EX + "b", "@index": "own"}]}],
+    ),
+    (
+        "index map with array values fans out per entry",
+        {"@context": {"t": {"@id": EX + "p", "@container": "@index"}},
+         "@id": EX + "n", "t": {"k": ["a", "b"]}},
+        [{"@id": EX + "n",
+          EX + "p": [{"@value": "a", "@index": "k"},
+                     {"@value": "b", "@index": "k"}]}],
+    ),
+    (
+        "language map with array values fans out per entry",
+        {"@context": {"t": {"@id": EX + "p", "@container": "@language"}},
+         "@id": EX + "n", "t": {"en": ["a", "b"]}},
+        [{"@id": EX + "n",
+          EX + "p": [{"@value": "a", "@language": "en"},
+                     {"@value": "b", "@language": "en"}]}],
+    ),
+    (
+        "value-object @language keeps its case verbatim",
+        # only language-MAP keys are lowercased (Processor.php:427 is
+        # the single strtolower in the codebase)
+        {"@id": EX + "n",
+         EX + "p": {"@value": "bonjour", "@language": "FR"}},
+        [{"@id": EX + "n",
+          EX + "p": [{"@value": "bonjour", "@language": "FR"}]}],
+    ),
+    (
+        "keyword aliases for @id and @type normalize away",
+        {"@context": {"ID": "@id", "TYPE": "@type"},
+         "ID": EX + "n", "TYPE": EX + "T", EX + "p": "v"},
+        [{"@id": EX + "n", "@type": [EX + "T"],
+          EX + "p": [{"@value": "v"}]}],
+    ),
+    (
+        "@type array mixes terms, CURIEs and absolute IRIs",
+        {"@context": {"@vocab": EX + "v#", "pfx": EX + "px#"},
+         "@id": EX + "n",
+         "@type": ["Term", "pfx:Sub", "http://other.example/T"]},
+        [{"@id": EX + "n",
+          "@type": [EX + "v#Term", EX + "px#Sub",
+                    "http://other.example/T"]}],
+    ),
+]
+
+ERRORS += [
+    (
+        "colliding keywords via an alias",
+        {"@context": {"id": "@id"},
+         "id": EX + "x", "@id": EX + "y"},
+        "colliding keywords",  # Processor.php:380
+    ),
+    (
+        "unsupported container mapping",
+        {"@context": {"t": {"@id": EX + "p", "@container": "@type"}},
+         "@id": EX + "n", "t": "v"},
+        "invalid container mapping",  # Processor.php:1720-1725
+    ),
+    (
+        "non-scalar @value",
+        {"@id": EX + "n", EX + "p": {"@value": {"nested": "object"}}},
+        "invalid value object value",  # Processor.php:655-665
+    ),
+]
+
+TORDF += [
+    (
+        "language tag case preserved through to N-Quads",
+        {"@id": EX + "n",
+         EX + "p": {"@value": "bonjour", "@language": "FR"}},
+        [f'<{EX}n> <{EX}p> "bonjour"@FR .'],
+        {},
+    ),
+]
+
+FROMRDF += [
+    (
+        "multi-subtag language tag parses and survives fromRdf",
+        # NB the PARSER grammar only admits lowercase tags
+        # (NQuads.php:87) while the SERIALIZER emits any case verbatim
+        # — the asymmetry is pinned in tests/test_nquads_io.py
+        [f'<{EX}n> <{EX}p> "bonjour"@fr-x-2abc .'],
+        [{"@id": EX + "n",
+          EX + "p": [{"@value": "bonjour", "@language": "fr-x-2abc"}]}],
+        {},
+    ),
+]
+
 def _write(path: str, text: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w", encoding="utf-8") as fh:
