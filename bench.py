@@ -42,6 +42,10 @@ HEADLINE = [
     # graph-analytics family (added round 3; earlier BENCH_r{1,2}
     # totals exclude it — compare per-query, not totals, across rounds)
     "kg_pagerank",
+    # framing + trigram-langid families (added round 4; same caveat —
+    # totals grow, per-query numbers stay comparable across rounds)
+    "kg_frame_tool_turn_subgraph",
+    "text_langid_trigram",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "sim_lsh_ann_topk",

@@ -143,28 +143,45 @@ def frame_select(triples: DataFrame, frame: dict) -> DataFrame:
     * <predicate>: [alt1, alt2, ...] — non-empty list: match if ANY
       alternative matches (nodeMatchesFrame's validValues loop,
       Processor.php:2722-2757)
+
+    Plan shape (measured round 4: 16.6 s -> see BENCH/BASELINE.md):
+    the running subject set starts from the FIRST constraint's
+    filtered subjects, not from a distinct over every triple subject
+    (that full-table aggregate is only needed for an empty or
+    all-negative frame), and semi/anti-join right sides are never
+    pre-distincted — a semi-join dedups by construction, so each
+    ``.distinct()`` there was a wasted full shuffle.
     """
-    subjects = triples.select("subject").distinct()
+    subjects = None  # lazily: all subjects, only if nothing narrows first
+
+    def all_subjects():
+        return triples.select("subject").distinct()
+
     for prop, spec in frame.items():
+        cond = None  # filtered (non-distinct) subject column for this key
         if prop == "@type":
             cond = triples.where(
                 (F.col("predicate") == RDF_TYPE) & (F.col("obj_value") == spec)
-            )
-            subjects = subjects.join(cond.select("subject").distinct(), "subject", "left_semi")
+            ).select("subject")
         elif isinstance(spec, list) and len(spec) == 0:
-            cond = triples.where(F.col("predicate") == prop)
-            subjects = subjects.join(cond.select("subject").distinct(), "subject", "left_anti")
+            anti = triples.where(F.col("predicate") == prop).select("subject")
+            subjects = (subjects if subjects is not None else all_subjects()).join(
+                anti, "subject", "left_anti"
+            )
+            continue
         elif isinstance(spec, dict) and "@frame" in spec:
             inner = frame_select(triples, spec["@frame"]).withColumnRenamed(
                 "subject", "obj_value"
             )
-            edge = triples.where(
-                (F.col("predicate") == prop) & (F.col("obj_kind") == "iri")
-            ).join(inner, "obj_value", "left_semi")
-            subjects = subjects.join(edge.select("subject").distinct(), "subject", "left_semi")
+            cond = (
+                triples.where(
+                    (F.col("predicate") == prop) & (F.col("obj_kind") == "iri")
+                )
+                .join(inner, "obj_value", "left_semi")
+                .select("subject")
+            )
         elif isinstance(spec, dict) and len(spec) == 0:
-            cond = triples.where(F.col("predicate") == prop)
-            subjects = subjects.join(cond.select("subject").distinct(), "subject", "left_semi")
+            cond = triples.where(F.col("predicate") == prop).select("subject")
         else:
             alternatives = spec if isinstance(spec, list) else [spec]
             conds = [_match_condition(alt) for alt in alternatives]
@@ -174,9 +191,14 @@ def frame_select(triples: DataFrame, frame: dict) -> DataFrame:
             combined = conds[0]
             for c in conds[1:]:
                 combined = combined | c
-            cond = triples.where((F.col("predicate") == prop) & combined)
-            subjects = subjects.join(cond.select("subject").distinct(), "subject", "left_semi")
-    return subjects
+            cond = triples.where((F.col("predicate") == prop) & combined).select(
+                "subject"
+            )
+        if subjects is None:
+            subjects = cond.distinct()
+        else:
+            subjects = subjects.join(cond, "subject", "left_semi")
+    return subjects if subjects is not None else all_subjects()
 
 
 def frame_project(triples: DataFrame, frame: dict, prop: str) -> DataFrame:
@@ -214,7 +236,13 @@ def frame_project(triples: DataFrame, frame: dict, prop: str) -> DataFrame:
 def frame_subgraph(triples: DataFrame, frame: dict, depth: int = 1) -> DataFrame:
     """All triples of the matched subjects plus their forward closure
     to ``depth`` hops (@embed analogue; each hop is one semi-join)."""
-    matched = frame_select(triples, frame)
+    from jsonld_spark.operators import scratch
+
+    # matched feeds the hop join, the seen union, AND the final semi-
+    # join — uncached, its frame semi-joins would recompute per
+    # consumer (measured: the dominant cost of the driver's subgraph
+    # query). Scratch-tracked like the graph family; caller releases.
+    matched = scratch.track(frame_select(triples, frame))
     frontier = matched
     seen = matched
     for _ in range(depth):
@@ -224,6 +252,8 @@ def frame_subgraph(triples: DataFrame, frame: dict, depth: int = 1) -> DataFrame
             .select(F.col("obj_value").alias("subject"))
             .distinct()
         )
-        frontier = objs.join(seen, "subject", "left_anti")
-        seen = seen.unionByName(frontier).distinct()
+        frontier = scratch.track(objs.join(seen, "subject", "left_anti"))
+        # frontier is anti-joined against seen and internally distinct,
+        # so the union is disjoint — no dedup shuffle needed
+        seen = seen.unionByName(frontier)
     return triples.join(seen, "subject", "left_semi")
