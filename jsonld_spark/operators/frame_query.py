@@ -78,6 +78,11 @@ def _value_object_condition(spec: dict) -> Column:
     value objects by recursing with the spec as a per-key filter,
     Processor.php:2724-2740 via the scalar branch)."""
     conds = [F.col("obj_kind") == F.lit("literal")]
+    if "@type" in spec and "@language" in spec:
+        # an RDF literal carries a datatype OR a language tag, never
+        # both (and the kernel's typed value objects have no @language
+        # key to satisfy the spec) — such a spec matches nothing
+        return F.lit(False)
     if "@value" in spec and "@type" in spec:
         lit = value_object_to_literal({"@value": spec["@value"], "@type": spec["@type"]})
         if lit is None:
@@ -95,7 +100,21 @@ def _value_object_condition(spec: dict) -> Column:
             return F.lit(False)
         return _literal_condition(*lit)
     if "@value" in spec:
-        return _scalar_condition(spec["@value"]) & (F.col("obj_kind") == "literal")
+        value = spec["@value"]
+        if isinstance(value, str):
+            # @value-only string specs constrain ONLY the value (the
+            # kernel recursion checks just the keys present, so
+            # "bonjour" matches "bonjour"@FR and "bonjour"^^T alike);
+            # at the RDF level that is a lexical-form match over any
+            # datatype/language
+            return (F.col("obj_kind") == "literal") & (F.col("obj_value") == value)
+        # non-strings: only literals whose expanded @value is native
+        # (xsd:integer/double/boolean from toRdf) can strictly equal a
+        # native spec in the kernel — the canonical typed literal
+        lit = value_object_to_literal({"@value": value})
+        if lit is None:
+            return F.lit(False)
+        return _literal_condition(*lit)
     if "@type" in spec:
         conds.append(F.col("obj_type") == spec["@type"])
     if "@language" in spec:
@@ -110,18 +129,16 @@ def _is_value_spec(spec: dict) -> bool:
     return any(k in spec for k in ("@value", "@type", "@language"))
 
 
-def _match_condition(value_spec) -> Column | None:
+def _match_condition(value_spec) -> Column:
     """Column predicate over the object columns for one alternative of
-    a frame value spec; None means the alternative is a no-constraint
-    marker (``@default``)."""
+    a frame value spec. ``@default`` / ``@frame`` / ``{}`` alternatives
+    are handled by the caller before reaching here."""
     if isinstance(value_spec, dict):
-        if "@default" in value_spec:
-            return None
         if _is_value_spec(value_spec):
             return _value_object_condition(value_spec)
         raise ValueError(
-            "object specs must be value objects, {'@default': ...} or "
-            "{'@frame': ...} (nested frames recurse via semi-joins)"
+            "object specs must be value objects, {'@default': ...}, {} "
+            "wildcards, or {'@frame': ...} subframes"
         )
     return _scalar_condition(value_spec)
 
@@ -169,31 +186,51 @@ def frame_select(triples: DataFrame, frame: dict) -> DataFrame:
                 anti, "subject", "left_anti"
             )
             continue
-        elif isinstance(spec, dict) and "@frame" in spec:
-            inner = frame_select(triples, spec["@frame"]).withColumnRenamed(
-                "subject", "obj_value"
-            )
-            cond = (
-                triples.where(
-                    (F.col("predicate") == prop) & (F.col("obj_kind") == "iri")
-                )
-                .join(inner, "obj_value", "left_semi")
-                .select("subject")
-            )
         elif isinstance(spec, dict) and len(spec) == 0:
             cond = triples.where(F.col("predicate") == prop).select("subject")
         else:
+            # alternatives may mix scalars, value objects, {} wildcards
+            # and {"@frame": ...} subframes (nodeMatchesFrame recurses
+            # into every dict alternative, Processor.php:2722-2757);
+            # each subframe contributes a semi-joined subject set,
+            # the predicate-style alternatives contribute one filtered
+            # set, and the key's condition is their union
             alternatives = spec if isinstance(spec, list) else [spec]
-            conds = [_match_condition(alt) for alt in alternatives]
-            if any(c is None for c in conds):
-                # an @default alternative makes the property optional
+            if any(isinstance(a, dict) and "@default" in a for a in alternatives):
+                # an @default alternative matches any present value and
+                # fills when absent — no constraint either way
                 continue
-            combined = conds[0]
-            for c in conds[1:]:
-                combined = combined | c
-            cond = triples.where((F.col("predicate") == prop) & combined).select(
-                "subject"
-            )
+            preds = []
+            subject_sets = []
+            for alt in alternatives:
+                if isinstance(alt, dict) and "@frame" in alt:
+                    inner = frame_select(triples, alt["@frame"]).withColumnRenamed(
+                        "subject", "obj_value"
+                    )
+                    subject_sets.append(
+                        triples.where(
+                            (F.col("predicate") == prop)
+                            & (F.col("obj_kind") == "iri")
+                        )
+                        .join(inner, "obj_value", "left_semi")
+                        .select("subject")
+                    )
+                elif isinstance(alt, dict) and len(alt) == 0:
+                    preds.append(F.lit(True))  # {} wildcard: any value
+                else:
+                    preds.append(_match_condition(alt))
+            if preds:
+                combined = preds[0]
+                for c in preds[1:]:
+                    combined = combined | c
+                subject_sets.append(
+                    triples.where((F.col("predicate") == prop) & combined).select(
+                        "subject"
+                    )
+                )
+            cond = subject_sets[0]
+            for extra in subject_sets[1:]:
+                cond = cond.unionByName(extra)
         if subjects is None:
             subjects = cond.distinct()
         else:
@@ -214,12 +251,13 @@ def frame_project(triples: DataFrame, frame: dict, prop: str) -> DataFrame:
     """
     spec = frame[prop]
     alternatives = spec if isinstance(spec, list) else [spec]
-    default = None
+    _missing = object()
+    default = _missing
     for alt in alternatives:
         if isinstance(alt, dict) and "@default" in alt:
             default = alt["@default"]
             break
-    if default is None:
+    if default is _missing:
         raise ValueError(f"frame spec for {prop!r} carries no @default")
 
     matched = frame_select(triples, frame)
@@ -228,8 +266,14 @@ def frame_project(triples: DataFrame, frame: dict, prop: str) -> DataFrame:
         .select("subject", F.col("obj_value").alias("value"))
         .distinct()
     )
-    return matched.join(values, "subject", "left").select(
-        "subject", F.coalesce(F.col("value"), F.lit(str(default))).alias("value")
+    # {"@default": null} is a valid spec — the kernel fills the @null
+    # marker (Processor.php:2650-2652); columnar analogue: a NULL value
+    fill = F.lit(None).cast("string") if default is None else F.lit(str(default))
+    joined = matched.join(values, "subject", "left")
+    if default is None:
+        return joined.select("subject", F.col("value"))
+    return joined.select(
+        "subject", F.coalesce(F.col("value"), fill).alias("value")
     )
 
 

@@ -48,3 +48,31 @@ def release() -> int:
 
 def tracked_count() -> int:
     return len(_SCRATCH)
+
+
+class scope:
+    """Context manager scoping releases to caches tracked WITHIN it:
+
+        with scratch.scope():
+            df = graph.triangle_counts(edges)
+            df.count()
+        # only the caches triangle_counts tracked are now released
+
+    Use when other lazy query plans built earlier in the session still
+    reference their own scratch caches — a global ``release()`` would
+    unpersist those too, silently re-introducing the per-consumer
+    recomputation the caches exist to prevent. Materialize everything
+    built inside the scope before it exits."""
+
+    def __enter__(self):
+        self._mark = len(_SCRATCH)
+        return self
+
+    def __exit__(self, *exc):
+        for df in _SCRATCH[self._mark:]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        del _SCRATCH[self._mark:]
+        return False

@@ -358,6 +358,23 @@ def planted_language_docs_sql() -> str:
 """
 
 
+def doc_trigrams_expr():
+    """Column expression: the padded-token character-trigram list of
+    ``text`` — the single definition shared by the operator and its
+    parity tests (so expression drift cannot escape the test)."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"(\p{L}+)"), 1)
+    return F.flatten(
+        F.transform(
+            toks,
+            lambda t: F.transform(
+                # padded token " t " has length(t) trigrams, 1-indexed
+                F.sequence(F.lit(1), F.length(t)),
+                lambda i: F.substring(F.concat(F.lit(" "), t, F.lit(" ")), i, 3),
+            ),
+        )
+    )
+
+
 def language_id_trigram(docs: DataFrame) -> DataFrame:
     """Character-trigram language ID (Cavnar & Trenkle SDAIR'94 shape):
 
@@ -384,18 +401,7 @@ def language_id_trigram(docs: DataFrame) -> DataFrame:
     back on doc_id for any passthrough columns."""
     from pyspark.sql.window import Window
 
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"(\p{L}+)"), 1)
-    tgs = F.flatten(
-        F.transform(
-            toks,
-            lambda t: F.transform(
-                # padded token " t " has length(t) trigrams, 1-indexed
-                F.sequence(F.lit(1), F.length(t)),
-                lambda i: F.substring(F.concat(F.lit(" "), t, F.lit(" ")), i, 3),
-            ),
-        )
-    )
-    exploded = docs.select("doc_id", F.explode(tgs).alias("tg"))
+    exploded = docs.select("doc_id", F.explode(doc_trigrams_expr()).alias("tg"))
     counts = exploded.groupBy("doc_id", "tg").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("tg"))
     doc_top = (

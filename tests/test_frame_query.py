@@ -54,6 +54,23 @@ def _subjects(df):
     return {r["subject"] for r in df.select("subject").collect()}
 
 
+def _to_kernel_frame(frame: dict) -> dict:
+    """Compiler frame -> kernel frame: the {"@frame": X} subframe
+    wrapper is compiler syntax; the kernel treats a bare dict
+    alternative AS the subframe (Processor.php:2724-2740)."""
+    out = {}
+    for key, spec in frame.items():
+        alts = spec if isinstance(spec, list) else [spec]
+        conv = [
+            _to_kernel_frame(a["@frame"])
+            if isinstance(a, dict) and "@frame" in a
+            else a
+            for a in alts
+        ]
+        out[key] = conv if isinstance(spec, list) else conv[0]
+    return out
+
+
 def _kernel_match_ids(frame: dict) -> set:
     """Top-level @ids matched by the kernel on the same document.
 
@@ -61,8 +78,9 @@ def _kernel_match_ids(frame: dict) -> set:
     "@default" (not in $keywords, Processor.php:34-36 + 901-902) so
     framing keywords only survive frame expansion when no @vocab is
     active — absolute-IRI frame keys keep the two sides comparable
-    and let the compiler's frame dict be reused verbatim."""
-    expanded_frame = expand(dict(frame), frame=True)
+    and let the compiler's frame dict be reused (modulo the subframe
+    wrapper translation)."""
+    expanded_frame = expand(_to_kernel_frame(frame), frame=True)
     matched = frame_expanded(expand(DOC), expanded_frame)
     return {node["@id"] for node in matched if isinstance(node, dict) and "@id" in node}
 
@@ -197,7 +215,31 @@ DIFFERENTIAL_FRAMES = [
     {"@type": V + "Person", V + "score": {"@default": "0"}},
     {"@type": V + "Person"},
     {V + "label": [{"@language": "FR"}, "plain"]},
+    # @value-only specs constrain just the value: the kernel recursion
+    # checks only present keys, so "bonjour" matches "bonjour"@FR and
+    # "98.6" matches "98.6"^^fahrenheit (r4 review finding)
+    {V + "label": {"@value": "bonjour"}},
+    {V + "temp": {"@value": "98.6"}},
+    # subframe inside an alternatives list (r4 review finding)
+    {V + "knows": [{"@frame": {V + "score": 5.0}}]},
+    {V + "knows": [{"@frame": {V + "flag": True}}, EX + "a"]},
+    # {} wildcard alternative == property exists
+    {V + "label": [{}]},
 ]
+
+
+def test_type_plus_language_spec_matches_nothing(triples):
+    """An RDF literal carries a datatype OR a language tag, never both
+    — the spec compiles to a FALSE predicate. (Not in the kernel
+    differential: the kernel frame EXPANSION rejects @type+@language
+    value objects outright, so the comparison cannot even run.)"""
+    got = _subjects(
+        frame_select(
+            triples,
+            {V + "label": {"@value": "plain", "@type": V + "T", "@language": "en"}},
+        )
+    )
+    assert got == set()
 
 
 @pytest.mark.parametrize("frame", DIFFERENTIAL_FRAMES)
@@ -208,6 +250,22 @@ def test_differential_kernel_vs_distributed(triples, frame):
 
 
 # --- regression: invalid specs fail loudly ------------------------------
+
+def test_frame_project_null_default_fills_null(triples):
+    """{"@default": null} is valid — the kernel fills the @null marker
+    (Processor.php:2650-2652); the columnar fill is a NULL value."""
+    rows = frame_project(
+        triples,
+        {"@type": V + "Person", V + "score": {"@default": None}},
+        V + "score",
+    ).collect()
+    got = {(r["subject"], r["value"]) for r in rows}
+    assert got == {
+        (EX + "a", "5.3E0"),
+        (EX + "b", "5"),
+        (EX + "d", None),
+    }
+
 
 def test_unknown_dict_spec_raises(triples):
     with pytest.raises(ValueError):

@@ -195,7 +195,8 @@ def test_trigram_langid_und_and_null(spark):
         spark, [(1, "zzzz qqqq xxxx"), (2, ""), (3, None)]
     )
     # no trigram of these ever appears in any profile -> 'und'
-    assert got[2] == "und" and got[3] == "und"
+    # (doc 1 exercises the matched-empty left-join path on real text)
+    assert got[1] == "und" and got[2] == "und" and got[3] == "und"
 
 
 def test_trigram_extraction_matches_python_reference(spark):
@@ -212,17 +213,11 @@ def test_trigram_extraction_matches_python_reference(spark):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     from pyspark.sql import functions as F
 
-    toks_c = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"(\p{L}+)"), 1)
-    tgs = F.flatten(
-        F.transform(
-            toks_c,
-            lambda t: F.transform(
-                F.sequence(F.lit(1), F.length(t)),
-                lambda i: F.substring(F.concat(F.lit(" "), t, F.lit(" ")), i, 3),
-            ),
-        )
+    # the OPERATOR's own expression (shared helper), not a copy — so
+    # expression drift in text.py cannot escape this parity check
+    got = Counter(
+        df.select(F.explode(T.doc_trigrams_expr()).alias("tg")).toPandas()["tg"]
     )
-    got = Counter(df.select(F.explode(tgs).alias("tg")).toPandas()["tg"])
     assert got == want
 
 

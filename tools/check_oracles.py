@@ -2,7 +2,8 @@
 their oracle_sql() side-by-side and compare sorted row multisets.
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
-(defaults: /root/testdata/sf0.001, all queries)
+(defaults: /root/testdata/sf0.01 — the documented gate scale — and
+all queries)
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ TABLES = [
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     wanted = sys.argv[2:]
     spark = get_spark(app_name="oracle-check", cores=8, shuffle_partitions=16)
 
@@ -45,11 +46,16 @@ def main() -> int:
             srows = sorted(
                 tuple(str(r[c]) for c in cols) for r in sdf.collect()
             )
-            ores = con.execute(oracles[name]).fetchdf()
-            ocols = sorted(ores.columns)
+            # fetchall, NOT fetchdf: pandas coerces a nullable BIGINT
+            # column to float64 (5 -> "5.0", NULL -> "nan") while the
+            # Spark side renders "5"/"None" — native Python objects
+            # from fetchall stringify identically on both sides
+            cur = con.execute(oracles[name])
+            ocols_raw = [d[0] for d in cur.description]
+            order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
+            ocols = [ocols_raw[i] for i in order]
             orows = sorted(
-                tuple(str(v) for v in row)
-                for row in ores[ocols].itertuples(index=False, name=None)
+                tuple(str(row[i]) for i in order) for row in cur.fetchall()
             )
             ok = cols == ocols and srows == orows
             print(f"{name}: spark={len(srows)} oracle={len(orows)} "
