@@ -277,3 +277,81 @@ def test_subgraph_still_works_with_typed_root(triples):
     subs = _subjects(rows)
     # a and c match; a's forward closure adds b (knows), c's adds a
     assert subs == {EX + "a", EX + "b", EX + "c"}
+
+
+# --- randomized differential fuzz ---------------------------------------
+
+def _random_doc_and_frames(seed: int):
+    """Random IRI-identified docs + frames over a small vocab. Value
+    pool mixes ints, floats, strings, bools, language-tagged and typed
+    values; every node is IRI-identified so matched sets compare."""
+    import random
+
+    rng = random.Random(seed)
+    props = [V + p for p in "pqr"]
+    types = [V + t for t in ("A", "B")]
+    values = [5, 7.5, "s1", "s2", True,
+              {"@value": "lv", "@language": "en"},
+              {"@value": "tv", "@type": V + "T"}]
+    nodes = []
+    ids = [EX + f"n{i}" for i in range(rng.randint(3, 7))]
+    for nid in ids:
+        node = {"@id": nid}
+        if rng.random() < 0.7:
+            node["@type"] = rng.choice(types)
+        for p in props:
+            if rng.random() < 0.6:
+                vals = rng.sample(values, rng.randint(1, 2))
+                node[p] = vals if len(vals) > 1 else vals[0]
+        if rng.random() < 0.4:
+            node[V + "knows"] = {"@id": rng.choice(ids)}
+        nodes.append(node)
+    doc = {"@context": {"knows": {"@id": V + "knows", "@type": "@id"},
+                        "@vocab": V},
+           "@graph": nodes}
+
+    frames = []
+    for _ in range(4):
+        frame = {}
+        if rng.random() < 0.5:
+            frame["@type"] = rng.choice(types)
+        for p in rng.sample(props, rng.randint(1, 2)):
+            roll = rng.random()
+            if roll < 0.3:
+                frame[p] = rng.choice(values)
+            elif roll < 0.5:
+                frame[p] = {}
+            elif roll < 0.65:
+                frame[p] = []
+            else:
+                frame[p] = [rng.choice(values), rng.choice(values)]
+        frames.append(frame)
+    return doc, frames
+
+
+def _kernel_ids_for(doc, frame):
+    expanded_frame = expand(_to_kernel_frame(frame), frame=True)
+    matched = frame_expanded(expand(doc), expanded_frame)
+    return {n["@id"] for n in matched if isinstance(n, dict) and "@id" in n}
+
+
+def test_random_frames_match_kernel(spark):
+    """Fuzz: the compiler and the kernel matcher agree on random docs
+    and random frames (scalar/typed/lang values, wildcards, absence,
+    multi-value alternatives, @type)."""
+    checked = 0
+    for seed in range(12):
+        doc, frames = _random_doc_and_frames(seed)
+        quads = expanded_to_quads(expand(doc))
+        t = spark.createDataFrame([tuple(q) for q in quads], QUAD_SCHEMA)
+        for frame in frames:
+            want = _kernel_ids_for(doc, frame)
+            got = _subjects(frame_select(t, frame))
+            # the triple table only contains SUBJECTS (nodes with at
+            # least one outgoing edge); the kernel's node map also
+            # holds object-only nodes, which an all-negative/empty
+            # frame can match — restrict to comparable ids
+            subj_ids = {q.subject for q in quads}
+            assert got == (want & subj_ids), (seed, frame)
+            checked += 1
+    assert checked >= 40

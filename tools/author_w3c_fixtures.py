@@ -2052,6 +2052,124 @@ FROMRDF += [
     ),
 ]
 
+# --- F. term-language mappings + compaction term selection ----------------
+
+EXPAND += [
+    (
+        "term @language overrides the default language",
+        {"@context": {"@language": "en",
+                      "t": {"@id": EX + "p", "@language": "de"},
+                      "u": EX + "q"},
+         "@id": EX + "n", "t": "x", "u": "y"},
+        [{"@id": EX + "n",
+          EX + "p": [{"@value": "x", "@language": "de"}],
+          EX + "q": [{"@value": "y", "@language": "en"}]}],
+    ),
+    (
+        "term @language null clears the default language",
+        # array_key_exists picks up the null mapping
+        # (Processor.php:1731-1733); isset() in expandValue then skips
+        # tagging (:802-804)
+        {"@context": {"@language": "en",
+                      "t": {"@id": EX + "p", "@language": None}},
+         "@id": EX + "n", "t": "x"},
+        [{"@id": EX + "n", EX + "p": [{"@value": "x"}]}],
+    ),
+    (
+        "@type coercion beats term @language (the 'note the else')",
+        # language tagging applies only WITHOUT type coercion
+        # (Processor.php:1714-1716 elseif; :800-804)
+        {"@context": {"@language": "en",
+                      "t": {"@id": EX + "p", "@type": EX + "T",
+                            "@language": "de"}},
+         "@id": EX + "n", "t": "x"},
+        [{"@id": EX + "n",
+          EX + "p": [{"@value": "x", "@type": EX + "T"}]}],
+    ),
+    (
+        "@list keyword alias",
+        {"@context": {"mylist": "@list"},
+         "@id": EX + "n", EX + "p": {"mylist": ["a", "b"]}},
+        [{"@id": EX + "n",
+          EX + "p": [{"@list": [{"@value": "a"}, {"@value": "b"}]}]}],
+    ),
+    (
+        "@set keyword alias collapses",
+        {"@context": {"myset": "@set"},
+         "@id": EX + "n", EX + "p": {"myset": ["a", "b"]}},
+        [{"@id": EX + "n",
+          EX + "p": [{"@value": "a"}, {"@value": "b"}]}],
+    ),
+]
+
+ERRORS += [
+    (
+        "non-string term @language",
+        {"@context": {"t": {"@id": EX + "p", "@language": 42}},
+         "@id": EX + "n", "t": "x"},
+        "invalid language mapping",  # Processor.php:1706-1712
+    ),
+]
+
+COMPACT += [
+    (
+        "language-based term selection",
+        [{"@id": EX + "n",
+          EX + "p": [{"@value": "hello", "@language": "en"},
+                     {"@value": "hallo", "@language": "de"}]}],
+        {"t_en": {"@id": EX + "p", "@language": "en"},
+         "t_de": {"@id": EX + "p", "@language": "de"}},
+        {"@context": {"t_en": {"@id": EX + "p", "@language": "en"},
+                      "t_de": {"@id": EX + "p", "@language": "de"}},
+         "@id": EX + "n", "t_de": "hallo", "t_en": "hello"},
+        {},
+    ),
+    (
+        "type-based term selection strips the datatype",
+        [{"@id": EX + "n",
+          EX + "p": [{"@value": "2011-01-25T00:00:00Z",
+                      "@type": XSD + "dateTime"},
+                     {"@value": "plain"}]}],
+        {"date": {"@id": EX + "p", "@type": XSD + "dateTime"},
+         "other": EX + "p"},
+        {"@context": {"date": {"@id": EX + "p", "@type": XSD + "dateTime"},
+                      "other": EX + "p"},
+         "@id": EX + "n", "date": "2011-01-25T00:00:00Z",
+         "other": "plain"},
+        {},
+    ),
+    (
+        "term beats CURIE for the same IRI",
+        [{"@id": EX + "n",
+          "http://xmlns.com/foaf/0.1/name": [{"@value": "Alice"}]}],
+        {"name": "http://xmlns.com/foaf/0.1/name",
+         "foaf": "http://xmlns.com/foaf/0.1/"},
+        {"@context": {"name": "http://xmlns.com/foaf/0.1/name",
+                      "foaf": "http://xmlns.com/foaf/0.1/"},
+         "@id": EX + "n", "name": "Alice"},
+        {},
+    ),
+    (
+        "@set container keeps the array for single values",
+        [{"@id": EX + "n", EX + "p": [{"@value": "v"}]}],
+        {"t": {"@id": EX + "p", "@container": "@set"}},
+        {"@context": {"t": {"@id": EX + "p", "@container": "@set"}},
+         "@id": EX + "n", "t": ["v"]},
+        {},
+    ),
+]
+
+TORDF += [
+    (
+        "@index on a node object is dropped in RDF",
+        {"@id": EX + "n",
+         EX + "p": {"@id": EX + "m", "@index": "i0", EX + "q": "v"}},
+        [f'<{EX}n> <{EX}p> <{EX}m> .',
+         f'<{EX}m> <{EX}q> "v" .'],
+        {},
+    ),
+]
+
 def _write(path: str, text: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w", encoding="utf-8") as fh:
