@@ -75,20 +75,28 @@ def _frame_score_prior_str() -> str:
     return canonical_double(FRAME_SCORE)
 
 
+REGION_GRAPH_PREFIX = "http://kg.example/graph/region/"
+FRAME_GRAPH_REGION = 2
+
+
 def _lang_label_triples(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     """Deterministic language-tagged labels: nation k gets
     (nation_iri, vocab#label, n_name@en) plus one extra label
-    (lower(n_name)) tagged LABEL_LANGS[k % 3]."""
+    (lower(n_name)) tagged LABEL_LANGS[k % 3]. Each nation's label
+    quads live in the NAMED GRAPH of its region
+    (REGION_GRAPH_PREFIX + n_regionkey) — the multi-graph fixture for
+    graph-scoped framing."""
     from jsonld_spark.plans.session import read_table
     from jsonld_spark.sources.entities import VOCAB
 
     nation = read_table(spark, sf_dir, "nation")
     ns = F.lit(None).cast("string")
     langs = F.array(*[F.lit(lang) for lang in LABEL_LANGS])
+    gname = F.concat(F.lit(REGION_GRAPH_PREFIX), F.col("n_regionkey"))
 
     def label_row(value, lang):
         return F.struct(
-            ns.alias("graph"),
+            gname.alias("graph"),
             F.concat(F.lit(NATION_IRI_PREFIX), F.col("n_nationkey")).alias("subject"),
             F.lit(VOCAB + "label").alias("predicate"),
             F.lit("literal").alias("obj_kind"),
@@ -115,6 +123,20 @@ def _frame_lang_labels(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
     frame = {VOCAB + "label": [{"@language": m} for m in LABEL_MATCH_LANGS]}
     return frame_select(_lang_label_triples(spark, sf_dir), frame)
+
+
+def _frame_graph_scoped(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The same language frame scoped to ONE region's named graph —
+    graph-scoped framing over the RDF dataset (frame_select_in_graph)."""
+    from jsonld_spark.operators.frame_query import frame_select_in_graph
+    from jsonld_spark.sources.entities import VOCAB
+
+    frame = {VOCAB + "label": [{"@language": m} for m in LABEL_MATCH_LANGS]}
+    return frame_select_in_graph(
+        _lang_label_triples(spark, sf_dir),
+        frame,
+        f"{REGION_GRAPH_PREFIX}{FRAME_GRAPH_REGION}",
+    )
 
 
 def _nonlink_predicates() -> list[str]:
@@ -365,6 +387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # language-tagged + multi-value alternatives over the nation-
         # derived label fixture (no @language literals in the kg corpus)
         "kg_frame_lang_labels": _frame_lang_labels,
+        # graph-scoped framing: same frame, one region's named graph
+        "kg_frame_graph_scoped": _frame_graph_scoped,
         # @default fill semantics: Turn subjects with tool IRI or the
         # frame's default where the property is absent
         "kg_frame_tool_default": lambda spark, sf: __import__(
@@ -480,6 +504,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_frame_lang_labels": O.kg_frame_lang_labels_sql(
             NATION_IRI_PREFIX, LABEL_LANGS, LABEL_MATCH_LANGS
+        ),
+        "kg_frame_graph_scoped": O.kg_frame_graph_scoped_sql(
+            NATION_IRI_PREFIX, LABEL_LANGS, LABEL_MATCH_LANGS,
+            FRAME_GRAPH_REGION,
         ),
         "kg_frame_tool_default": O.kg_frame_tool_default_sql(TOOL_DEFAULT),
         "dedup_exact": dedup.exact_duplicates_sql(),

@@ -238,6 +238,19 @@ def frame_select(triples: DataFrame, frame: dict) -> DataFrame:
     return subjects if subjects is not None else all_subjects()
 
 
+def frame_select_in_graph(triples: DataFrame, frame: dict, graph) -> DataFrame:
+    """``frame_select`` scoped to one named graph (or the default
+    graph with ``graph=None``). The kernel frames over the MERGED node
+    map (kernel/framing.py, Processor.php:2520-2523 uses the merged
+    graph unless the frame carries @graph); at the triple level the
+    graph column makes per-graph framing a pre-filter — the natural
+    RDF-dataset extension the in-memory API cannot offer."""
+    scoped = triples.where(
+        F.col("graph").isNull() if graph is None else (F.col("graph") == graph)
+    )
+    return frame_select(scoped, frame)
+
+
 def frame_project(triples: DataFrame, frame: dict, prop: str) -> DataFrame:
     """Matched subjects with the values of ``prop``, filling the
     frame's ``@default`` for subjects where the property is absent

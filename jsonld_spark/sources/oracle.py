@@ -545,6 +545,21 @@ WHERE n_nationkey % {len(langs)} IN ({in_list})
    OR 'en' IN ({", ".join("'" + m + "'" for m in match)})"""
 
 
+def kg_frame_graph_scoped_sql(prefix: str, langs: list[str], match: list[str],
+                              region: int) -> str:
+    """Oracle for the graph-scoped frame query: the label fixture puts
+    each nation's quads in its region's named graph, so scoping the
+    language frame to one region intersects the language arithmetic
+    with the region key."""
+    idxs = [i for i, lang in enumerate(langs) if lang in match]
+    in_list = ", ".join(str(i) for i in idxs) or "-1"
+    return f"""
+SELECT DISTINCT '{prefix}' || n_nationkey AS subject FROM nation
+WHERE n_regionkey = {region}
+  AND (n_nationkey % {len(langs)} IN ({in_list})
+       OR 'en' IN ({", ".join("'" + m + "'" for m in match)}))"""
+
+
 def kg_frame_tool_default_sql(default: str) -> str:
     """Oracle for frame_project({@type: Turn, tool: {@default: ...}},
     tool): every Turn subject with its tool IRI, the default filled
