@@ -2170,6 +2170,114 @@ TORDF += [
     ),
 ]
 
+# --- G. keyword-aliased terms, emission edge cases, base relativization ---
+
+EXPAND += [
+    (
+        "term aliased to the @type keyword ignores its other members",
+        # a term whose @id expands to a keyword keeps ONLY the alias —
+        # coercions etc. are dropped (Processor.php:1673-1678)
+        {"@context": {"@vocab": EX + "v#",
+                      "kind": {"@id": "@type", "@type": "@id"}},
+         "@id": EX + "n", "kind": "T"},
+        [{"@id": EX + "n", "@type": [EX + "v#T"]}],
+    ),
+    (
+        "@value with @index keeps both",
+        {"@id": EX + "n", EX + "p": {"@value": "x", "@index": "i0"}},
+        [{"@id": EX + "n",
+          EX + "p": [{"@value": "x", "@index": "i0"}]}],
+    ),
+    (
+        "@type values fall back to base resolution without @vocab",
+        # expandIri for @type passes BOTH vocabRelative and relativeIri
+        # (Processor.php:636) — with no @vocab the document base wins
+        {"@context": {"@base": "http://a/dir/"},
+         "@id": EX + "n", "@type": "Rel"},
+        [{"@id": EX + "n", "@type": ["http://a/dir/Rel"]}],
+    ),
+]
+
+ERRORS += [
+    (
+        "array nested inside a context array",
+        {"@context": [[{"@vocab": EX}]], "@id": EX + "n"},
+        "invalid local context",  # Processor.php:1729-1731 else branch
+    ),
+]
+
+TORDF += [
+    (
+        "relative @type is emitted UNCHECKED (bug-compat)",
+        # quad emission validates subject/predicate/object IRIs but the
+        # rdf:type OBJECT position constructs the IRI directly with no
+        # isAbsolute gate (Processor.php:2161-2166)
+        {"@context": {"@base": None},
+         "@id": EX + "n", "@type": "relative-type"},
+        [f'<{EX}n> <{RDF}type> <relative-type> .'],
+        {},
+    ),
+    (
+        "relative object references are skipped (elementToRdf null)",
+        # elementToRdf returns null for non-absolute @id
+        # (Processor.php:2215-2224) — the triple vanishes while the
+        # absolute sibling survives
+        {"@context": {"@base": None},
+         "@id": EX + "n",
+         EX + "p": [{"@id": "relative-target"}, {"@id": EX + "m"}]},
+        [f'<{EX}n> <{EX}p> <{EX}m> .'],
+        {},
+    ),
+    (
+        "list of @id-coerced IRIs chains IRI rdf:first objects",
+        {"@context": {"t": {"@id": EX + "p", "@container": "@list",
+                            "@type": "@id"}},
+         "@id": EX + "n", "t": [EX + "a", EX + "b"]},
+        [f'<{EX}n> <{EX}p> _:b0 .',
+         f'_:b0 <{RDF}first> <{EX}a> .',
+         f'_:b0 <{RDF}rest> _:b1 .',
+         f'_:b1 <{RDF}first> <{EX}b> .',
+         f'_:b1 <{RDF}rest> <{RDF}nil> .'],
+        {},
+    ),
+]
+
+FROMRDF += [
+    (
+        "rdf:nil as a subject keeps its own node",
+        # nil's usages drive the list walk, but a nil SUBJECT carrying
+        # properties passes the hasNodeProperties filter like any node
+        [f'<{RDF}nil> <{EX}p> "v" .',
+         f'<{EX}n> <{EX}q> "w" .'],
+        # output is subject-ksorted: example.com < www.w3.org
+        [{"@id": EX + "n", EX + "q": [{"@value": "w"}]},
+         {"@id": RDF + "nil", EX + "p": [{"@value": "v"}]}],
+        {},
+    ),
+    (
+        "useNativeTypes converts exponent doubles",
+        [f'<{EX}n> <{EX}p> "1.0E24"^^<{XSD}double> .',
+         f'<{EX}n> <{EX}q> "5.3E0"^^<{XSD}double> .'],
+        [{"@id": EX + "n",
+          EX + "p": [{"@value": 1e24}],
+          EX + "q": [{"@value": 5.3}]}],
+        {"useNativeTypes": True},
+    ),
+]
+
+COMPACT += [
+    (
+        "@id values relativize against @base",
+        [{"@id": "http://a/dir/x",
+          EX + "p": [{"@id": "http://a/dir/sub/y"}]}],
+        {"@base": "http://a/dir/", "p": {"@id": EX + "p", "@type": "@id"}},
+        {"@context": {"@base": "http://a/dir/",
+                      "p": {"@id": EX + "p", "@type": "@id"}},
+         "@id": "x", "p": "sub/y"},
+        {},
+    ),
+]
+
 def _write(path: str, text: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w", encoding="utf-8") as fh:
