@@ -2278,6 +2278,111 @@ COMPACT += [
     ),
 ]
 
+# --- H. set/list interactions, per-graph nil walks, container regrouping --
+
+EXPAND += [
+    (
+        "@set inside an explicit @list flattens into the list",
+        # @set elision replaces the object with its array
+        # (Processor.php:576-578), and array items merge into the
+        # parent array (:347-348) — no list-of-lists error fires
+        # because the surviving items are plain values
+        {"@id": EX + "n",
+         EX + "p": {"@list": [{"@set": ["a", "b"]}, "c"]}},
+        [{"@id": EX + "n",
+          EX + "p": [{"@list": [{"@value": "a"}, {"@value": "b"},
+                                {"@value": "c"}]}]}],
+    ),
+    (
+        "empty @set collapses to an empty array",
+        {"@id": EX + "n", EX + "p": {"@set": []}, EX + "q": "keep"},
+        [{"@id": EX + "n", EX + "p": [],
+          EX + "q": [{"@value": "keep"}]}],
+    ),
+]
+
+TORDF += [
+    (
+        "list chain inside a named graph carries the graph term",
+        # listToRdf receives the active graph (Processor.php:2235-2261)
+        {"@id": EX + "g",
+         "@graph": [{"@id": EX + "n", EX + "p": {"@list": ["a"]}}]},
+        [f'<{EX}n> <{EX}p> _:b0 <{EX}g> .',
+         f'_:b0 <{RDF}first> "a" <{EX}g> .',
+         f'_:b0 <{RDF}rest> <{RDF}nil> <{EX}g> .'],
+        {},
+    ),
+    (
+        "typed literals inside a list chain",
+        {"@id": EX + "n",
+         EX + "p": {"@list": [42, 2.5]}},
+        [f'<{EX}n> <{EX}p> _:b0 .',
+         f'_:b0 <{RDF}first> "42"^^<{XSD}integer> .',
+         f'_:b0 <{RDF}rest> _:b1 .',
+         f'_:b1 <{RDF}first> "2.5E0"^^<{XSD}double> .',
+         f'_:b1 <{RDF}rest> <{RDF}nil> .'],
+        {},
+    ),
+]
+
+FROMRDF += [
+    (
+        "independent list chains in two named graphs both reconstruct",
+        # rdf:nil usages are tracked PER GRAPH (Processor.php:2337-2341)
+        # so each graph's backwards walk consumes its own chain
+        [f'<{EX}a> <{EX}p> _:c1 <{EX}g1> .',
+         f'_:c1 <{RDF}first> "x" <{EX}g1> .',
+         f'_:c1 <{RDF}rest> <{RDF}nil> <{EX}g1> .',
+         f'<{EX}b> <{EX}q> _:c2 <{EX}g2> .',
+         f'_:c2 <{RDF}first> "y" <{EX}g2> .',
+         f'_:c2 <{RDF}rest> <{RDF}nil> <{EX}g2> .'],
+        [{"@id": EX + "g1",
+          "@graph": [{"@id": EX + "a",
+                      EX + "p": [{"@list": [{"@value": "x"}]}]}]},
+         {"@id": EX + "g2",
+          "@graph": [{"@id": EX + "b",
+                      EX + "q": [{"@list": [{"@value": "y"}]}]}]}],
+        {},
+    ),
+    (
+        "typed literals in a reconstructed list",
+        [f'<{EX}n> <{EX}p> _:c1 .',
+         f'_:c1 <{RDF}first> "42"^^<{XSD}integer> .',
+         f'_:c1 <{RDF}rest> <{RDF}nil> .'],
+        [{"@id": EX + "n",
+          EX + "p": [{"@list": [{"@value": "42",
+                                 "@type": XSD + "integer"}]}]}],
+        {},
+    ),
+]
+
+COMPACT += [
+    (
+        "language map regroups multiple values per language",
+        [{"@id": EX + "n",
+          EX + "p": [{"@value": "a1", "@language": "en"},
+                     {"@value": "a2", "@language": "en"},
+                     {"@value": "b1", "@language": "de"}]}],
+        {"t": {"@id": EX + "p", "@container": "@language"}},
+        {"@context": {"t": {"@id": EX + "p", "@container": "@language"}},
+         "@id": EX + "n",
+         "t": {"de": "b1", "en": ["a1", "a2"]}},
+        {},
+    ),
+    (
+        "index map regroups multiple values per index key",
+        [{"@id": EX + "n",
+          EX + "p": [{"@value": "a1", "@index": "k1"},
+                     {"@value": "a2", "@index": "k1"},
+                     {"@value": "b1", "@index": "k2"}]}],
+        {"t": {"@id": EX + "p", "@container": "@index"}},
+        {"@context": {"t": {"@id": EX + "p", "@container": "@index"}},
+         "@id": EX + "n",
+         "t": {"k1": ["a1", "a2"], "k2": "b1"}},
+        {},
+    ),
+]
+
 def _write(path: str, text: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w", encoding="utf-8") as fh:
