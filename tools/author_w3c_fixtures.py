@@ -2383,6 +2383,42 @@ COMPACT += [
     ),
 ]
 
+# --- I. vocab compaction + keyword-alias chains ---------------------------
+
+EXPAND += [
+    (
+        "terms chain through to a keyword alias",
+        # "a" -> "b" -> "@id": local-context resolution follows the
+        # chain (Processor.php:846-872) and the final keyword is stored
+        # as an alias (:1673-1678)
+        {"@context": {"a": "b", "b": "@id"},
+         "a": EX + "x", EX + "p": "v"},
+        [{"@id": EX + "x", EX + "p": [{"@value": "v"}]}],
+    ),
+]
+
+COMPACT += [
+    (
+        "@vocab compacts property and @type suffixes",
+        [{"@id": EX + "n", "@type": [EX + "v#T"],
+          EX + "v#name": [{"@value": "x"}]}],
+        {"@vocab": EX + "v#"},
+        {"@context": {"@vocab": EX + "v#"},
+         "@id": EX + "n", "@type": "T", "name": "x"},
+        {},
+    ),
+    (
+        "vocab compaction skipped when the suffix is a defined term",
+        # the suffix must NOT itself be a term (Processor.php:1229-1233)
+        # — "name" maps elsewhere, so the property stays absolute
+        [{"@id": EX + "n", EX + "v#name": [{"@value": "x"}]}],
+        {"@vocab": EX + "v#", "name": EX + "other"},
+        {"@context": {"@vocab": EX + "v#", "name": EX + "other"},
+         "@id": EX + "n", EX + "v#name": "x"},
+        {},
+    ),
+]
+
 def _write(path: str, text: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w", encoding="utf-8") as fh:
