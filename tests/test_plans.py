@@ -154,3 +154,34 @@ def test_path_query_plan_is_equality_joins_and_lazy(spark):
     plan = physical_plan_of(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_frame_and_trigram_plans_are_equality_joins(spark):
+    """Round-4 families stay equality-join shaped: no cartesian/BNLJ
+    anywhere, and the trigram profile table (800 literal rows) joins
+    BROADCAST — a planner regression to a shuffled profile join would
+    add a full shuffle of the exploded trigram stream."""
+    from jsonld_spark.operators import text
+    from jsonld_spark.operators.frame_query import frame_select, frame_subgraph
+
+    tri = kg_triples(spark, SF)
+    frames = [
+        {"@type": "http://kg.example/vocab#Mention",
+         "http://kg.example/vocab#score": 0.9,
+         "http://kg.example/vocab#rank": 1},
+        {"http://kg.example/vocab#tool": {},
+         "http://kg.example/vocab#text": []},
+    ]
+    for frame in frames:
+        plan = physical_plan_of(frame_select(tri, frame))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+    plan = physical_plan_of(frame_subgraph(tri, frames[0], depth=1))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    planted = text.planted_language_docs(spark, SF)
+    plan = physical_plan_of(text.language_id_trigram(planted))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # the profile join
