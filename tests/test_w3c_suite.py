@@ -107,36 +107,46 @@ def test_w3c_cases_replay_on_executors(spark):
             return fh.read()
 
     rows = []
-    for kind in ("expand", "toRdf"):
+    for kind in ("expand", "toRdf", "fromRdf"):
         for e in iter_manifest(kind):
             if "expectErrorCode" in e:
                 continue
             opt = e.get("option", {}) or {}
             rows.append((kind, e["name"], _read(e["input"]), e["base"],
-                         _read(e["expect"]),
-                         bool(opt.get("produceGeneralizedRdf", False))))
+                         _read(e["expect"]), json.dumps(opt)))
     sdf = spark.createDataFrame(
         rows, "kind string, name string, doc string, base string, "
-              "expected string, generalized boolean")
+              "expected string, opts string")
 
     def run(batches):
         import pandas as pd
 
         from jsonld_spark.kernel import api
+        from jsonld_spark.kernel.nquads import nquads_parse
 
         for pdf in batches:
             out = []
-            for kind, name, doc, base, expected, gen in zip(
+            for kind, name, doc, base, expected, opts_s in zip(
                     pdf["kind"], pdf["name"], pdf["doc"], pdf["base"],
-                    pdf["expected"], pdf["generalized"]):
+                    pdf["expected"], pdf["opts"]):
+                opts = json.loads(opts_s)
                 if kind == "expand":
                     actual = json.dumps(api.expand(doc, base=base), sort_keys=True)
+                    want = json.dumps(json.loads(expected), sort_keys=True)
+                elif kind == "fromRdf":
+                    got = api.from_rdf(
+                        list(nquads_parse(doc)),
+                        use_native_types=bool(opts.get("useNativeTypes")),
+                        use_rdf_type=bool(opts.get("useRdfType")),
+                    )
+                    actual = json.dumps(got, sort_keys=True)
                     want = json.dumps(json.loads(expected), sort_keys=True)
                 else:
                     # SET equality, same as the tier-1 harness (_nq_set;
                     # W3CTestSuiteTest.php:317-322) so the two gates can
                     # never disagree on duplicate-line handling
-                    nq = api.to_rdf(doc, base=base, produce_generalized_rdf=bool(gen))
+                    gen = bool(opts.get("produceGeneralizedRdf", False))
+                    nq = api.to_rdf(doc, base=base, produce_generalized_rdf=gen)
                     actual = "\n".join(sorted({l for l in nq.split("\n") if l.strip()}))
                     want = "\n".join(sorted({l for l in expected.split("\n") if l.strip()}))
                 out.append((kind, name, actual == want))
