@@ -53,6 +53,7 @@ def _conv_resources_path(triples: "DataFrame") -> "DataFrame":
 CHAIN_CELL_PREFIX = "http://kg.example/listcell/"
 CHAIN_CLOSURE_HOPS = 5
 NEIGHBOR_SAMPLE_K = 8
+NEG_K = 4
 EGO_K = 2
 RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -331,6 +332,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighbor_sample": lambda spark, sf: graph.neighbor_sample(
             cached_edges(spark, sf), k=NEIGHBOR_SAMPLE_K
         ),
+        # KG-embedding training primitive: deterministic k non-edges
+        # per node (md5-bucket candidates, anti-joined, md5-ranked)
+        "kg_negative_samples": lambda spark, sf: graph.negative_samples(
+            cached_edges(spark, sf), k=NEG_K
+        ),
         "kg_degree_histogram": lambda spark, sf: graph.degree_histogram(
             cached_edges(spark, sf)
         ),
@@ -493,6 +499,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_nonlink_edges": O.kg_path_nps_sql(_nonlink_predicates()),
         "kg_ego_subgraph": O.kg_ego_subgraph_sql(KHOP_SEED, k=EGO_K),
         "kg_neighbor_sample": O.kg_neighbor_sample_sql(NEIGHBOR_SAMPLE_K),
+        "kg_negative_samples": O.kg_negative_samples_sql(
+            NEG_K, graph.NEG_PROBES, graph.NEG_BUCKET_CHARS
+        ),
         "kg_degree_histogram": O.kg_degree_histogram_sql(),
         "kg_adjacency": O.kg_adjacency_sql(),
         "kg_adjacency_lists": O.kg_adjacency_lists_sql(),

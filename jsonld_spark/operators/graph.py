@@ -359,6 +359,79 @@ def neighbor_sample(edges: DataFrame, k: int) -> DataFrame:
     )
 
 
+NEG_BUCKET_CHARS = 2   # md5 prefix length -> 256 hash buckets
+NEG_PROBES = 3         # candidate buckets probed per source node
+
+
+def negative_samples(edges: DataFrame, k: int, probes: int = NEG_PROBES) -> DataFrame:
+    """Deterministic negative sampling: for every node, ``k``
+    pseudo-random NON-neighbors — the corruption-sampling primitive of
+    KG-embedding training (TransE-family: each positive edge trains
+    against sampled non-edges).
+
+    Deterministic and engine-portable by construction, so the DuckDB
+    oracle is exact: candidate generation is a BUCKET-equality join
+    (node v is a candidate for u when md5(v)'s 2-hex-char prefix
+    equals the 2-hex-char probe key md5(u + '#' + i), i < probes),
+    real edges and self-pairs are anti-joined away, and each node
+    keeps the ``k`` candidates with the smallest md5(u + '|' + v) —
+    a deterministic pseudo-random order both engines compute
+    identically on strings (no float RNG, no hex-to-int casts).
+
+    Scale shape: candidates per node ≈ probes × |V| / 256 via an
+    equality join (never a cross join); the k-prefix is cut by a
+    row_number window BEFORE any aggregation (window sorts spill, so
+    hub-sized candidate sets are safe — same policy as
+    neighbor_sample); the anti-join is on the (src, dst) edge key.
+    At 10^12 edges, bucket counts scale with NEG_BUCKET_CHARS (each
+    extra hex char divides candidate fan-out by 16).
+
+    Output: (node, negative, rank) with rank 1..k. Nodes can yield
+    fewer than k rows when probing finds fewer distinct non-neighbors
+    — probes trades coverage for fan-out."""
+    from pyspark.sql.window import Window
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    buckets = nodes.select(
+        F.col("node").alias("cand"),
+        F.substring(F.md5("node"), 1, NEG_BUCKET_CHARS).alias("bkt"),
+    )
+    probes_df = nodes.select(
+        "node",
+        F.explode(F.sequence(F.lit(0), F.lit(probes - 1))).alias("i"),
+    ).select(
+        "node",
+        F.substring(
+            F.md5(F.concat(F.col("node"), F.lit("#"), F.col("i"))),
+            1,
+            NEG_BUCKET_CHARS,
+        ).alias("bkt"),
+    )
+    cand = (
+        probes_df.join(buckets, "bkt")
+        .where(F.col("cand") != F.col("node"))
+        .select("node", "cand")
+        .distinct()
+    )
+    non_edges = cand.join(
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("cand")),
+        ["node", "cand"],
+        "left_anti",
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.md5(F.concat(F.col("node"), F.lit("|"), F.col("cand"))), F.asc("cand")
+    )
+    return (
+        non_edges.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("node", F.col("cand").alias("negative"), "rank")
+    )
+
+
 def degree_histogram(edges: DataFrame) -> DataFrame:
     """(degree, n_nodes): distribution of TOTAL degree (in + out) over
     the directed edge set — the first thing to look at before choosing

@@ -239,6 +239,35 @@ r{i} AS (
     return sql + f"\nSELECT node, r AS rank_fp FROM r{iterations}"
 
 
+def kg_negative_samples_sql(k: int, probes: int, bucket_chars: int) -> str:
+    """Oracle for deterministic negative sampling: identical md5
+    bucket keys, anti-join, and md5-ordered k-prefix in SQL — string
+    hashing is engine-portable, so the match is exact."""
+    return (
+        _graph_edges_ctes()
+        + f""",
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+buckets AS (SELECT node AS cand, substr(md5(node), 1, {bucket_chars}) AS bkt FROM nodes),
+probes AS (
+  SELECT node, substr(md5(node || '#' || i), 1, {bucket_chars}) AS bkt
+  FROM nodes, UNNEST(range(0, {probes})) t(i)),
+cand AS (
+  SELECT DISTINCT p.node, b.cand
+  FROM probes p JOIN buckets b USING (bkt)
+  WHERE b.cand <> p.node),
+non_edges AS (
+  SELECT c.node, c.cand FROM cand c
+  ANTI JOIN edges e ON e.src = c.node AND e.dst = c.cand),
+ranked AS (
+  SELECT node, cand,
+         row_number() OVER (
+           PARTITION BY node
+           ORDER BY md5(node || '|' || cand), cand ASC) AS rank
+  FROM non_edges)
+SELECT node, cand AS negative, rank FROM ranked WHERE rank <= {k}"""
+    )
+
+
 def kg_path_conv_resources_sql() -> str:
     """Oracle for the property-path driver query
     ^inConversation / (entities | tool): formulated independently of

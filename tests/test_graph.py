@@ -287,3 +287,51 @@ def test_khop_early_exit_isolated_seed(spark):
     seeds = spark.createDataFrame([("z",)], "node string")
     got = khop_distances(_edges_df(spark, edges), seeds, k=4).collect()
     assert [(r["node"], r["dist"]) for r in got] == [("z", 0)]
+
+
+def test_negative_samples_are_non_edges_and_deterministic(spark):
+    """Negative sampling: every sampled pair is a NON-edge, no
+    self-pairs, at most k per node, ranks contiguous from 1, and the
+    result is bit-identical across runs (no RNG)."""
+    import hashlib
+
+    from jsonld_spark.operators.graph import (
+        NEG_BUCKET_CHARS,
+        NEG_PROBES,
+        negative_samples,
+    )
+
+    rows = [(f"n{i}", f"n{(i * 7 + 1) % 30}") for i in range(30)] + [
+        (f"n{i}", f"n{(i + 3) % 30}") for i in range(30)
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = negative_samples(edges, k=3).collect()
+    edge_set = set(rows)
+
+    per_node = {}
+    for r in got:
+        assert (r["node"], r["negative"]) not in edge_set
+        assert r["node"] != r["negative"]
+        per_node.setdefault(r["node"], []).append(r["rank"])
+    for node, ranks in per_node.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), node
+        assert len(ranks) <= 3
+
+    # brute-force Python replica: same md5 buckets, same ordering
+    nodes = {s for s, _ in rows} | {d for _, d in rows}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    want = set()
+    for u in sorted(nodes):
+        keys = {md5(f"{u}#{i}")[:NEG_BUCKET_CHARS] for i in range(NEG_PROBES)}
+        cands = sorted(
+            (v for v in nodes
+             if v != u and md5(v)[:NEG_BUCKET_CHARS] in keys
+             and (u, v) not in edge_set),
+            key=lambda v: (md5(f"{u}|{v}"), v),
+        )[:3]
+        for rank, v in enumerate(cands, 1):
+            want.add((u, v, rank))
+    assert {(r["node"], r["negative"], r["rank"]) for r in got} == want
+
+    again = negative_samples(edges, k=3).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in got}
