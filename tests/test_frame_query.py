@@ -340,7 +340,7 @@ def test_random_frames_match_kernel(spark):
     and random frames (scalar/typed/lang values, wildcards, absence,
     multi-value alternatives, @type)."""
     checked = 0
-    for seed in range(12):
+    for seed in range(20):
         doc, frames = _random_doc_and_frames(seed)
         quads = expanded_to_quads(expand(doc))
         t = spark.createDataFrame([tuple(q) for q in quads], QUAD_SCHEMA)
