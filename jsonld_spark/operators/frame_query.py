@@ -34,12 +34,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from jsonld_spark.kernel.context import FRAMING_KEYWORDS
 from jsonld_spark.kernel.rdf import (
     XSD_STRING,
     value_object_to_literal,
 )
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _strip_framing_keywords(frame: dict) -> dict:
+    """Drop @embed/@explicit/@embedChildren/@default from the top level
+    of a frame — the kernel pops them into options before matching
+    (Processor.php:2507-2516 via frame_expanded); they control output
+    shape, never the match set."""
+    return {k: v for k, v in frame.items() if k not in FRAMING_KEYWORDS}
+
+
+def frame_predicates(frame: dict) -> list[str]:
+    """The predicates a frame names ("@type" -> rdf:type) — the
+    property set an @explicit:true output is restricted to
+    (Processor.php:2543: with @explicit the result keeps only
+    filter-matched properties; addMissingNodeProperties is skipped)."""
+    preds = []
+    for key in _strip_framing_keywords(frame):
+        preds.append(RDF_TYPE if key == "@type" else key)
+    return preds
 
 
 def _literal_condition(lex: str, dtype: str | None, lang: str | None) -> Column:
@@ -133,6 +153,15 @@ def _match_condition(value_spec) -> Column:
     """Column predicate over the object columns for one alternative of
     a frame value spec. ``@default`` / ``@frame`` / ``{}`` alternatives
     are handled by the caller before reaching here."""
+    if isinstance(value_spec, list):
+        # a nested array alternative ({p: [["x"]]}) is an invalid frame
+        # — the reference raises "lists of lists are not allowed"
+        # (Processor.php:2726-2731); compiling it to match-nothing would
+        # silently hide the malformed frame behind empty results
+        raise ValueError(
+            "invalid frame: array of arrays (a list alternative may not "
+            "itself be a list, Processor.php:2726-2731)"
+        )
     if isinstance(value_spec, dict):
         if _is_value_spec(value_spec):
             return _value_object_condition(value_spec)
@@ -174,7 +203,7 @@ def frame_select(triples: DataFrame, frame: dict) -> DataFrame:
     def all_subjects():
         return triples.select("subject").distinct()
 
-    for prop, spec in frame.items():
+    for prop, spec in _strip_framing_keywords(frame).items():
         cond = None  # filtered (non-distinct) subject column for this key
         if prop == "@type":
             cond = triples.where(
@@ -281,36 +310,104 @@ def frame_project(triples: DataFrame, frame: dict, prop: str) -> DataFrame:
     )
     # {"@default": null} is a valid spec — the kernel fills the @null
     # marker (Processor.php:2650-2652); columnar analogue: a NULL value
-    fill = F.lit(None).cast("string") if default is None else F.lit(str(default))
     joined = matched.join(values, "subject", "left")
     if default is None:
         return joined.select("subject", F.col("value"))
+    if isinstance(default, str):
+        fill_lex = default
+    else:
+        # non-string defaults fill with the same canonical RDF lexical
+        # form the matching predicates compare against (True -> "true",
+        # 0.9 -> "9.0E-1") — str() would produce Python reprs ("True",
+        # "0.9") no stored literal ever equals
+        lit = value_object_to_literal({"@value": default})
+        if lit is None:
+            raise ValueError(
+                f"@default {default!r} has no RDF literal form; use a "
+                "string, number, or boolean default"
+            )
+        fill_lex = lit[0]
     return joined.select(
-        "subject", F.coalesce(F.col("value"), fill).alias("value")
+        "subject", F.coalesce(F.col("value"), F.lit(fill_lex)).alias("value")
     )
 
 
-def frame_subgraph(triples: DataFrame, frame: dict, depth: int = 1) -> DataFrame:
+def frame_subgraph(
+    triples: DataFrame,
+    frame: dict,
+    depth: int = 1,
+    embed: bool | None = None,
+    explicit: bool | None = None,
+) -> DataFrame:
     """All triples of the matched subjects plus their forward closure
-    to ``depth`` hops (@embed analogue; each hop is one semi-join)."""
+    to ``depth`` hops (@embed analogue; each hop is one semi-join).
+
+    Embedding controls (kernel/framing.py:179-194, Processor.php:
+    2543-2553 + 2780-2811), readable either from the arguments or from
+    ``@embed``/``@explicit`` members carried in the frame itself (the
+    kernel pops them into options the same way):
+
+    * ``embed=False`` — matched nodes are emitted as REFERENCES only
+      (the kernel appends ``{"@id": id}``); the triple-space output is
+      the matched (subject) set, no property rows.
+    * ``explicit=True`` — the matched subjects' own triples are
+      restricted to the frame-named predicates ("@type" -> rdf:type;
+      the kernel keeps only filter-matched properties and skips
+      addMissingNodeProperties). ``depth=0, explicit=True`` is the
+      kernel-faithful @explicit output; with ``depth>0`` the closure
+      follows only the KEPT edges (the compiler's depth-based
+      extension — embedded hop nodes keep all their triples, like the
+      kernel's wildcard-embedded children).
+    """
     from jsonld_spark.operators import scratch
+
+    frame = dict(frame)
+    if embed is None:
+        embed = frame.get("@embed", True)
+    if explicit is None:
+        explicit = frame.get("@explicit", False)
 
     # matched feeds the hop join, the seen union, AND the final semi-
     # join — uncached, its frame semi-joins would recompute per
     # consumer (measured: the dominant cost of the driver's subgraph
     # query). Scratch-tracked like the graph family; caller releases.
     matched = scratch.track(frame_select(triples, frame))
-    frontier = matched
+    if embed is False:
+        return matched
+
+    if not explicit:
+        # measured-good shape (r4 shuffle diet): closure via per-hop
+        # semi-joins, one final semi-join over the disjoint seen union
+        frontier = matched
+        seen = matched
+        for _ in range(depth):
+            objs = (
+                triples.join(frontier, "subject", "left_semi")
+                .where(F.col("obj_kind") == "iri")
+                .select(F.col("obj_value").alias("subject"))
+                .distinct()
+            )
+            frontier = scratch.track(objs.join(seen, "subject", "left_anti"))
+            # frontier is anti-joined against seen and internally
+            # distinct, so the union is disjoint — no dedup shuffle
+            seen = seen.unionByName(frontier)
+        return triples.join(seen, "subject", "left_semi")
+
+    preds = frame_predicates(frame)
+    base = triples.join(matched, "subject", "left_semi").where(
+        F.col("predicate").isin(preds)
+    )
+    result = base
     seen = matched
+    hop_src = base  # hop 1 follows only the kept (frame-named) edges
     for _ in range(depth):
         objs = (
-            triples.join(frontier, "subject", "left_semi")
-            .where(F.col("obj_kind") == "iri")
+            hop_src.where(F.col("obj_kind") == "iri")
             .select(F.col("obj_value").alias("subject"))
             .distinct()
         )
         frontier = scratch.track(objs.join(seen, "subject", "left_anti"))
-        # frontier is anti-joined against seen and internally distinct,
-        # so the union is disjoint — no dedup shuffle needed
         seen = seen.unionByName(frontier)
-    return triples.join(seen, "subject", "left_semi")
+        hop_src = triples.join(frontier, "subject", "left_semi")
+        result = result.unionByName(hop_src)
+    return result

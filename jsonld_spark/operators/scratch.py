@@ -17,6 +17,16 @@ queries calls ``release()`` between batches so executor storage does
 not accumulate until eviction pressure (bench.py --graph does this).
 Caches the CALLER created (e.g. __spark_entry__.cached_edges) are never
 tracked here — caller-owned lifecycles stay caller-owned.
+
+Prefer ``scope()`` over a global ``release()`` when other lazy plans
+built earlier in the session may still reference their own scratch
+caches — a global release would unpersist those too, silently
+re-introducing the per-consumer recomputation the caches prevent.
+
+The registry is a process-global list with no locking: it assumes the
+single-threaded Spark DRIVER pattern (one thread builds queries and
+releases scratch). Concurrent job submission from multiple driver
+threads must coordinate externally.
 """
 
 from __future__ import annotations

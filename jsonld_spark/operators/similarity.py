@@ -257,26 +257,124 @@ _PROBE2_SQL = (
 )
 
 
+# multi-table LSH (VERDICT r4 #4): L independent hash tables, each a
+# DISJOINT bit-slice of the MAX_PLANES-bit sign word — every sign bit
+# is its own hyperplane, so slice t = bits [t*planes, (t+1)*planes) is
+# a genuinely independent plane set costing ZERO extra dot products
+# (the word is computed once either way; a second 24-plane set would
+# triple the plan-build/codegen cost of the unrolled dots — the
+# measured r3 landmine). L scales with the corpus inversely to the
+# plane count: L = min(LSH_MAX_TABLES, MAX_PLANES div planes), so a
+# small corpus (planes=4) gets more tables and a large one (planes
+# near 24) degrades gracefully toward one. Candidates are the OR of
+# the per-table bucket collisions (the public multi-table standard);
+# recall@5 measured 0.58 (single table) -> see BENCH/BASELINE.md.
+LSH_MAX_TABLES = 4
+
+
+def _ntab_expr(planes_col):
+    return F.least(
+        F.lit(LSH_MAX_TABLES),
+        F.floor(F.lit(MAX_PLANES) / planes_col).cast("int"),
+    )
+
+
+def with_bucket_tables(embeddings: DataFrame) -> DataFrame:
+    """vec_id, label, quantized vector, effective plane count, table
+    count, and the FULL MAX_PLANES-bit sign word (table t's bucket is
+    bits [t*planes, (t+1)*planes) of it)."""
+    q = _quantized()
+    n = embeddings.select(F.count("*").alias("n_vecs"))
+    planes = _planes_expr(F.col("n_vecs"))
+    return embeddings.crossJoin(F.broadcast(n)).select(
+        "vec_id",
+        "label",
+        q.alias("q"),
+        planes.alias("planes"),
+        _ntab_expr(planes).alias("ntab"),
+        _bucket_full_expr(q).alias("word"),
+    )
+
+
+def _table_bucket(full_col, t_col, planes_col):
+    """Bucket of table ``t``: bits [t*planes, (t+1)*planes) of the sign
+    word. full >= 0, so plain % == pmod; pow(2, e) is exact for
+    e <= MAX_PLANES in double."""
+    return (full_col / _pow2_long(t_col * planes_col)).cast("long") % _pow2_long(
+        planes_col
+    )
+
+
 def lsh_ann_topk(
-    spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES,
+    max_tables: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: exact ranking restricted to the query's LSH
-    bucket plus its 1-bit-flip MULTIPROBE buckets (recall recovery for
-    the corpus-scaled plane count). Deterministic (integer hyperplanes
-    + count-derived planes), so the oracle reproduces the same
-    approximation exactly."""
-    emb = with_buckets(read_table(spark, sf_dir, "embeddings"))
+    """Approximate top-k: exact ranking restricted to the OR-combined
+    candidates of L bit-slice LSH tables, each probed at its bucket
+    plus all 1- and 2-bit flips (multiprobe). ``max_tables=1``
+    reproduces the single-table construction exactly (table 0's slice
+    IS the original low-bits bucket). Deterministic (integer
+    hyperplanes + count-derived planes/tables), so the oracle
+    reproduces the same approximation exactly."""
+    emb = with_bucket_tables(read_table(spark, sf_dir, "embeddings"))
+    ntab = F.col("ntab") if max_tables is None else F.least(
+        F.col("ntab"), F.lit(max_tables)
+    )
+    corpus = emb.select(
+        "vec_id",
+        "planes",
+        "word",
+        F.explode(F.sequence(F.lit(0), ntab - 1)).alias("t"),
+    ).select(
+        "vec_id",
+        "t",
+        _table_bucket(F.col("word"), F.col("t"), F.col("planes")).alias("bucket"),
+    )
     probes = (
         emb.where(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("q").alias("qq"),
-            F.explode(_probe2_expr(F.col("bucket"), F.col("planes"))).alias("probe"),
+            "planes",
+            "word",
+            F.explode(F.sequence(F.lit(0), ntab - 1)).alias("t"),
+        )
+        .select(
+            "query_id",
+            "t",
+            F.explode(
+                _probe2_expr(
+                    _table_bucket(F.col("word"), F.col("t"), F.col("planes")),
+                    F.col("planes"),
+                )
+            ).alias("probe"),
         )
     )
-    scored = emb.join(
-        F.broadcast(probes),
-        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
+    # a vector can collide with a query in several tables — distinct
+    # the (query, vector) pair set BEFORE scoring, then join the
+    # quantized vectors back (a distinct over the wide array columns
+    # would shuffle the vectors themselves)
+    cand = (
+        corpus.join(
+            F.broadcast(probes),
+            (corpus["t"] == probes["t"]) & (F.col("bucket") == F.col("probe"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qvecs = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized().alias("q")
+    )
+    scored = (
+        qvecs.join(F.broadcast(cand), "vec_id")
+        .join(
+            F.broadcast(
+                qvecs.where(F.col("vec_id") < n_queries).select(
+                    F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+                )
+            ),
+            "query_id",
+        )
     )
     cos = _pair_dot(F.col("q"), F.col("qq")) / F.sqrt(
         _norm2(F.col("q")) * _norm2(F.col("qq"))
@@ -290,17 +388,40 @@ def lsh_ann_topk(
     )
 
 
+# "word", not "full": FULL is a reserved word (FULL JOIN) in DuckDB
+_TBUCKET_SQL = (
+    "(word // CAST(pow(2, t * planes) AS BIGINT)) % CAST(pow(2, planes) AS BIGINT)"
+)
+
+
 def lsh_ann_topk_sql(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
+    """Oracle for the multi-table variant: same sign word, same
+    bit-slice buckets, same hamming<=2 probes per table, OR-combined
+    candidates — bit-for-bit the Spark construction."""
     return f"""
-WITH {_buckets_cte()},
-probes AS (
-  SELECT vec_id AS query_id, q AS qq, {_PROBE2_SQL} AS probe
-  FROM b WHERE vec_id < {n_queries}),
+WITH emb AS (SELECT vec_id, {_quantized_sql()} AS q FROM embeddings),
+np AS (SELECT planes, LEAST({LSH_MAX_TABLES}, {MAX_PLANES} // planes) AS ntab
+       FROM (SELECT {_planes_sql()} AS planes)),
+fullw AS (SELECT vec_id, q, ({_bucket_full_sql()}) AS word FROM emb),
+corpus AS (
+  SELECT vec_id, t, {_TBUCKET_SQL} AS bucket
+  FROM fullw, np, UNNEST(range(0, ntab)) r(t)),
+qb AS (
+  SELECT vec_id AS query_id, t, {_TBUCKET_SQL} AS bucket, planes
+  FROM fullw, np, UNNEST(range(0, ntab)) r(t)
+  WHERE vec_id < {n_queries}),
+probes AS (SELECT query_id, t, {_PROBE2_SQL} AS probe FROM qb),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id
+  FROM probes p JOIN corpus c ON c.t = p.t AND c.bucket = p.probe
+  WHERE c.vec_id <> p.query_id),
 scored AS (
-  SELECT p.query_id, e.vec_id AS neighbor_id,
-         list_dot_product(e.q, p.qq) /
-           sqrt(list_dot_product(e.q, e.q) * list_dot_product(p.qq, p.qq)) AS cosine
-  FROM b e JOIN probes p ON e.bucket = p.probe AND e.vec_id <> p.query_id),
+  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+         list_dot_product(e.q, qv.q) /
+           sqrt(list_dot_product(e.q, e.q) * list_dot_product(qv.q, qv.q)) AS cosine
+  FROM cand
+  JOIN emb e ON e.vec_id = cand.vec_id
+  JOIN emb qv ON qv.vec_id = cand.query_id),
 ranked AS (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank

@@ -1,0 +1,269 @@
+"""Consolidated driver-evidence queries (VERDICT r4 #1).
+
+The ``queries()`` registry outgrew the driver's correctness-check
+window (56 registered vs 50 checked in round 4 — six queries had no
+CORRECTNESS row). These suites fold families of same-shaped evidence
+queries into single union queries with a ``part`` tag, so every
+registered entry fits inside the driver's window while the underlying
+operators keep their own full-fidelity outputs (and pytest coverage).
+
+Each suite casts the member results to one common column set; value
+columns stay TYPED (doubles stay doubles, counts stay bigint) so the
+driver's value-hash comparison retains full strength — only layout is
+unified, never formatting. Timestamps are rendered through an explicit
+format (Spark ``date_format`` / DuckDB ``strftime``) because engine
+default timestamp-to-string casts are not contractually identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_SQL = "%Y-%m-%d %H:%M:%S"
+
+
+def _ns():
+    return F.lit(None).cast("string")
+
+
+def _nd():
+    return F.lit(None).cast("double")
+
+
+def _nl():
+    return F.lit(None).cast("long")
+
+
+# --- relational operator anchors (4 -> 1) ----------------------------------
+
+def rel_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four TPC-style relational anchors as one union:
+    pricing (agg), top_orders (3-way join + top-N), no_recent_orders
+    (anti-join), sessions (window sessionization). Schema:
+    (part, k1, k2, k3, v1, v2, v3, cnt)."""
+    from jsonld_spark.operators import relational
+
+    p = relational.pricing_summary(spark, sf_dir).select(
+        F.lit("pricing").alias("part"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        _ns().alias("k3"),
+        F.col("sum_qty").alias("v1"),
+        F.col("sum_base_price").alias("v2"),
+        F.col("sum_disc_price").alias("v3"),
+        F.col("count_order").alias("cnt"),
+    )
+    t = relational.top_unshipped_orders(spark, sf_dir).select(
+        F.lit("top_orders").alias("part"),
+        F.col("l_orderkey").cast("string").alias("k1"),
+        F.date_format("o_orderdate", _TS_FMT_SPARK).alias("k2"),
+        _ns().alias("k3"),
+        F.col("revenue").alias("v1"),
+        _nd().alias("v2"),
+        _nd().alias("v3"),
+        _nl().alias("cnt"),
+    )
+    c = relational.customers_without_orders(spark, sf_dir).select(
+        F.lit("no_recent_orders").alias("part"),
+        F.col("c_custkey").cast("string").alias("k1"),
+        F.col("c_name").alias("k2"),
+        _ns().alias("k3"),
+        _nd().alias("v1"),
+        _nd().alias("v2"),
+        _nd().alias("v3"),
+        F.col("c_nationkey").cast("long").alias("cnt"),
+    )
+    s = relational.event_sessions(spark, sf_dir).select(
+        F.lit("sessions").alias("part"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("session_idx").cast("string").alias("k2"),
+        F.concat(
+            F.date_format("session_start", _TS_FMT_SPARK),
+            F.lit("|"),
+            F.date_format("session_end", _TS_FMT_SPARK),
+        ).alias("k3"),
+        _nd().alias("v1"),
+        _nd().alias("v2"),
+        _nd().alias("v3"),
+        F.col("n_events").alias("cnt"),
+    )
+    return p.unionByName(t).unionByName(c).unionByName(s)
+
+
+def rel_suite_sql() -> str:
+    from jsonld_spark.operators import relational
+
+    return f"""
+SELECT 'pricing' AS part, l_returnflag AS k1, l_linestatus AS k2,
+       CAST(NULL AS VARCHAR) AS k3,
+       sum_qty AS v1, sum_base_price AS v2, sum_disc_price AS v3,
+       count_order AS cnt
+FROM ({relational.pricing_summary_sql()}) pr
+UNION ALL
+SELECT 'top_orders', CAST(l_orderkey AS VARCHAR),
+       strftime(o_orderdate, '{_TS_FMT_SQL}'), NULL,
+       revenue, NULL, NULL, NULL
+FROM ({relational.top_unshipped_orders_sql()}) tp
+UNION ALL
+SELECT 'no_recent_orders', CAST(c_custkey AS VARCHAR), c_name, NULL,
+       NULL, NULL, NULL, CAST(c_nationkey AS BIGINT)
+FROM ({relational.customers_without_orders_sql()}) cw
+UNION ALL
+SELECT 'sessions', CAST(user_id AS VARCHAR), CAST(session_idx AS VARCHAR),
+       strftime(session_start, '{_TS_FMT_SQL}') || '|' ||
+         strftime(session_end, '{_TS_FMT_SQL}'),
+       NULL, NULL, NULL, n_events
+FROM ({relational.event_sessions_sql()}) es"""
+
+
+# --- multimodal transform stages (2 -> 1) ----------------------------------
+
+def mm_transform_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize_assets + sample_frames as one union. Schema:
+    (part, doc_id, idx, n_bytes, sha)."""
+    from jsonld_spark.operators import multimodal
+
+    assets = multimodal.binary_assets(spark, sf_dir)
+    ni = F.lit(None).cast("int")
+    r = multimodal.resize_assets(
+        assets, resizer=multimodal.deterministic_fake_resizer
+    ).select(
+        F.lit("resized").alias("part"),
+        "doc_id",
+        ni.alias("idx"),
+        F.col("out_bytes").alias("n_bytes"),
+        F.col("out_sha256").alias("sha"),
+    )
+    f = multimodal.sample_frames(assets).select(
+        F.lit("frames").alias("part"),
+        "doc_id",
+        F.col("frame_idx").alias("idx"),
+        F.col("frame_bytes").alias("n_bytes"),
+        F.col("frame_sha256").alias("sha"),
+    )
+    return r.unionByName(f)
+
+
+def mm_transform_suite_sql() -> str:
+    from jsonld_spark.operators import multimodal
+
+    return f"""
+SELECT 'resized' AS part, doc_id, CAST(NULL AS INT) AS idx,
+       out_bytes AS n_bytes, out_sha256 AS sha
+FROM ({multimodal.resized_sql()}) r
+UNION ALL
+SELECT 'frames', doc_id, frame_idx, frame_bytes, frame_sha256
+FROM ({multimodal.sampled_frames_sql()}) f"""
+
+
+# --- simhash values + near-pairs (2 -> 1) ----------------------------------
+
+def dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 60-bit simhash values + Manku-blocked near pairs as one
+    union. Schema: (part, a, b, v) — values: a=doc_id, v=simhash;
+    pairs: a/b=doc pair, v=hamming distance."""
+    from jsonld_spark.operators import dedup
+
+    vals = dedup.simhash_values(spark, sf_dir).select(
+        F.lit("values").alias("part"),
+        F.col("doc_id").alias("a"),
+        _nl().alias("b"),
+        F.col("simhash").alias("v"),
+    )
+    pairs = dedup.simhash_near_pairs(spark, sf_dir).select(
+        F.lit("pairs").alias("part"),
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        F.col("hamming").cast("long").alias("v"),
+    )
+    return vals.unionByName(pairs)
+
+
+def dedup_simhash_suite_sql() -> str:
+    from jsonld_spark.operators import dedup
+
+    return f"""
+SELECT 'values' AS part, doc_id AS a, CAST(NULL AS BIGINT) AS b,
+       simhash AS v
+FROM ({dedup.simhash_values_sql()}) sv
+UNION ALL
+SELECT 'pairs', doc_a, doc_b, CAST(hamming AS BIGINT)
+FROM ({dedup.simhash_near_pairs_sql()}) sp"""
+
+
+# --- adjacency counts + lists (2 -> 1) -------------------------------------
+
+def kg_adjacency_suite(
+    spark: SparkSession, sf_dir: str, triples: DataFrame
+) -> DataFrame:
+    """Forward adjacency summary + materialized adjacency lists as one
+    union. Schema: (part, subject, edges, n1, n2) — counts:
+    n1=n_predicates, n2=n_values; lists: edges=sorted edge list,
+    n1=n_edges."""
+    from jsonld_spark.operators import kg_queries
+
+    counts = kg_queries.adjacency(spark, sf_dir, triples=triples).select(
+        F.lit("counts").alias("part"),
+        "subject",
+        _ns().alias("edges"),
+        F.col("n_predicates").alias("n1"),
+        F.col("n_values").alias("n2"),
+    )
+    lists = kg_queries.adjacency_lists(spark, sf_dir, triples=triples).select(
+        F.lit("lists").alias("part"),
+        "subject",
+        F.col("edges"),
+        F.col("n_edges").alias("n1"),
+        _nl().alias("n2"),
+    )
+    return counts.unionByName(lists)
+
+
+def kg_adjacency_suite_sql() -> str:
+    from jsonld_spark.sources import oracle as O
+
+    return f"""
+SELECT 'counts' AS part, subject, CAST(NULL AS VARCHAR) AS edges,
+       n_predicates AS n1, n_values AS n2
+FROM ({O.kg_adjacency_sql()}) ac
+UNION ALL
+SELECT 'lists', subject, edges, n_edges, CAST(NULL AS BIGINT)
+FROM ({O.kg_adjacency_lists_sql()}) al"""
+
+
+# --- bounded + unbounded chain closures (2 -> 1) ---------------------------
+
+def path_closures_suite(bounded: DataFrame, unbounded: DataFrame) -> DataFrame:
+    """rdf:rest{1,N} (bounded closure) + rdf:rest+ (closure_all
+    fixpoint) over the same chain fixture as one union. Schema:
+    (part, src, dst)."""
+    b = bounded.select(F.lit("bounded").alias("part"), "src", "dst")
+    u = unbounded.select(F.lit("all").alias("part"), "src", "dst")
+    return b.unionByName(u)
+
+
+def path_closures_suite_sql(bounded_sql: str, unbounded_sql: str) -> str:
+    return f"""
+SELECT 'bounded' AS part, src, dst FROM ({bounded_sql}) cb
+UNION ALL
+SELECT 'all', src, dst FROM ({unbounded_sql}) ca"""
+
+
+# --- language-tag framing, merged + graph-scoped (2 -> 1) ------------------
+
+def frame_lang_suite(all_graphs: DataFrame, scoped: DataFrame) -> DataFrame:
+    """The multi-value language frame over the label fixture, framed
+    over the merged dataset AND scoped to one named graph, as one
+    union. Schema: (part, subject)."""
+    a = all_graphs.select(F.lit("merged").alias("part"), "subject")
+    s = scoped.select(F.lit("scoped").alias("part"), "subject")
+    return a.unionByName(s)
+
+
+def frame_lang_suite_sql(all_sql: str, scoped_sql: str) -> str:
+    return f"""
+SELECT 'merged' AS part, subject FROM ({all_sql}) fa
+UNION ALL
+SELECT 'scoped', subject FROM ({scoped_sql}) fs"""

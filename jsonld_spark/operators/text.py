@@ -319,7 +319,11 @@ def planted_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = (k % len(TRIGRAM_LANGS)).cast("int")
     words = F.element_at(words_arr, li + 1)
-    shift = (k / len(TRIGRAM_LANGS)).cast("long") % F.size(words)
+    # integer division (`div`), matching the oracle's `//` exactly at
+    # any doc_id — float division + cast is exact only below 2^53
+    shift = F.expr(
+        f"CAST(doc_id AS BIGINT) div {len(TRIGRAM_LANGS)}"
+    ) % F.size(words)
     sentence = F.array_join(
         F.transform(
             F.sequence(F.lit(0), F.lit(PLANT_WORDS - 1)),

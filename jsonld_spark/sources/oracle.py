@@ -268,6 +268,44 @@ SELECT node, cand AS negative, rank FROM ranked WHERE rank <= {k}"""
     )
 
 
+def kg_negative_samples_degree_sql(
+    k: int, probes: int, bucket_chars: int, unit: int, max_rep: int
+) -> str:
+    """Oracle for degree-weighted negative sampling
+    (operators/graph.negative_samples_degree): candidate v carries
+    min(max_rep, ceil(degree/unit)) bucket replicas keyed
+    md5(v || ':' || j) — identical string hashing, anti-join, and
+    md5-ordered k-prefix as the Spark side, so the match is exact."""
+    return (
+        _graph_edges_ctes()
+        + f""",
+deg AS MATERIALIZED (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+  GROUP BY node),
+buckets AS (
+  SELECT node AS cand, substr(md5(node || ':' || j), 1, {bucket_chars}) AS bkt
+  FROM deg, UNNEST(range(0, least({max_rep}, (degree + {unit - 1}) // {unit}))) t(j)),
+probes AS (
+  SELECT node, substr(md5(node || '#' || i), 1, {bucket_chars}) AS bkt
+  FROM deg, UNNEST(range(0, {probes})) t(i)),
+cand AS (
+  SELECT DISTINCT p.node, b.cand
+  FROM probes p JOIN buckets b USING (bkt)
+  WHERE b.cand <> p.node),
+non_edges AS (
+  SELECT c.node, c.cand FROM cand c
+  ANTI JOIN edges e ON e.src = c.node AND e.dst = c.cand),
+ranked AS (
+  SELECT node, cand,
+         row_number() OVER (
+           PARTITION BY node
+           ORDER BY md5(node || '|' || cand), cand ASC) AS rank
+  FROM non_edges)
+SELECT node, cand AS negative, rank FROM ranked WHERE rank <= {k}"""
+    )
+
+
 def kg_path_conv_resources_sql() -> str:
     """Oracle for the property-path driver query
     ^inConversation / (entities | tool): formulated independently of
@@ -542,6 +580,23 @@ subs AS (
   SELECT entity_id FROM linked WHERE turn_iri IN (SELECT turn_iri FROM sel)
 )
 SELECT * FROM triples WHERE subject IN (SELECT s FROM subs)"""
+    )
+
+
+def kg_frame_turn_explicit_sql() -> str:
+    """Oracle for frame_subgraph({@type: Turn, tool: {}}, depth=0,
+    explicit=True): the tool-bearing turns' triples restricted to the
+    frame-named predicates (rdf:type for "@type", plus the tool edge)
+    — @explicit:true keeps only filter-matched properties and skips
+    addMissingNodeProperties (Processor.php:2543 + 2780-2811)."""
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    return (
+        base_ctes()
+        + f"""
+, triples AS ({triples_select()})
+SELECT * FROM triples
+WHERE subject IN (SELECT turn_iri FROM turns WHERE tool IS NOT NULL)
+  AND predicate IN ('{rdf_type}', '{V}tool')"""
     )
 
 

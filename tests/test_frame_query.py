@@ -279,6 +279,108 @@ def test_subgraph_still_works_with_typed_root(triples):
     assert subs == {EX + "a", EX + "b", EX + "c"}
 
 
+def test_nested_array_alternative_raises(triples):
+    """{p: [["x"]]} is an invalid frame — the reference raises 'must
+    not be an array of arrays' (Processor.php:2726-2731); compiling to
+    match-nothing would hide the malformed frame (ADVICE r4)."""
+    with pytest.raises(ValueError, match="array of arrays"):
+        frame_select(triples, {V + "score": [[5.3]]})
+
+
+def test_frame_project_nonstring_default_uses_canonical_lexical(triples):
+    """Non-string defaults fill with the canonical RDF lexical form the
+    matching side compares against (ADVICE r4): 0.9 -> '9.0E-1', True
+    -> 'true' — never Python's str() reprs."""
+    rows = frame_project(
+        triples,
+        {"@type": V + "Person", V + "score": {"@default": 0.9}},
+        V + "score",
+    ).collect()
+    got = {(r["subject"], r["value"]) for r in rows}
+    assert got == {(EX + "a", "5.3E0"), (EX + "b", "5"), (EX + "d", "9.0E-1")}
+    rows = frame_project(
+        triples,
+        {"@type": V + "Person", V + "flag": {"@default": True}},
+        V + "flag",
+    ).collect()
+    got = {(r["subject"], r["value"]) for r in rows}
+    assert got == {(EX + "a", "true"), (EX + "b", "false"), (EX + "d", "true")}
+
+
+# --- @embed / @explicit embedding controls (VERDICT r4 #2) ---------------
+
+def test_subgraph_embed_false_returns_references_only(triples):
+    """@embed:false — matched nodes come back as references (the
+    kernel appends {"@id": id}, Processor.php:2543-2547): the output
+    is the matched subject set, no property rows."""
+    out = frame_subgraph(triples, {V + "score": 5.3}, embed=False)
+    assert out.columns == ["subject"]
+    assert _subjects(out) == {EX + "a", EX + "c"}
+    # the flag can ride inside the frame itself, like the kernel's
+    in_frame = frame_subgraph(triples, {V + "score": 5.3, "@embed": False})
+    assert _subjects(in_frame) == {EX + "a", EX + "c"}
+
+
+def test_subgraph_explicit_prunes_to_frame_predicates(triples):
+    """@explicit:true at depth=0 — only frame-named predicates survive
+    (addMissingNodeProperties skipped, Processor.php:2780-2811)."""
+    out = frame_subgraph(
+        triples, {"@type": V + "Person", V + "score": {}}, depth=0, explicit=True
+    ).collect()
+    got = {(r["subject"], r["predicate"]) for r in out}
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    # a, b have score; d matches only if score exists — it doesn't, so
+    # matched = {a, b}; each contributes exactly rdf:type + score rows
+    assert got == {
+        (EX + "a", rdf_type), (EX + "a", V + "score"),
+        (EX + "b", rdf_type), (EX + "b", V + "score"),
+    }
+
+
+def test_subgraph_explicit_closure_follows_only_kept_edges(triples):
+    """With depth=1, the closure hops only through frame-named edges:
+    framing on `knows` reaches the known node; framing on `score` does
+    not follow `knows` even though the matched subject carries it."""
+    via_knows = frame_subgraph(
+        triples, {"@type": V + "Person", V + "knows": {}}, depth=1, explicit=True
+    )
+    assert _subjects(via_knows) == {EX + "a", EX + "b"}
+    no_follow = frame_subgraph(
+        triples, {"@type": V + "Person", V + "score": {}}, depth=1, explicit=True
+    )
+    assert _subjects(no_follow) == {EX + "a", EX + "b"}  # b matched, not hopped-to
+
+
+def test_explicit_differential_vs_kernel(triples):
+    """Kernel frame with @explicit:true vs the distributed compiler at
+    depth=0: the (id, property) sets agree (frames without @default —
+    a kernel default fill has no triple to show)."""
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    for frame in [
+        {"@type": V + "Person"},
+        {V + "score": 5.3},
+        {"@type": V + "Person", V + "n": 5},
+        {V + "label": [{"@language": "FR"}, "plain"]},
+    ]:
+        expanded_frame = expand(
+            _to_kernel_frame({**frame, "@explicit": True}), frame=True
+        )
+        matched = frame_expanded(expand(DOC), expanded_frame)
+        want = set()
+        for node in matched:
+            for prop in node:
+                if prop == "@id":
+                    continue
+                want.add((node["@id"], rdf_type if prop == "@type" else prop))
+        got = {
+            (r["subject"], r["predicate"])
+            for r in frame_subgraph(
+                triples, frame, depth=0, explicit=True
+            ).collect()
+        }
+        assert got == want, frame
+
+
 # --- randomized differential fuzz ---------------------------------------
 
 def _random_doc_and_frames(seed: int):
@@ -354,6 +456,53 @@ def test_random_frames_match_kernel(spark):
             subj_ids = {q.subject for q in quads}
             assert got == (want & subj_ids), (seed, frame)
             checked += 1
+    assert checked >= 40
+
+
+def test_random_frames_embedding_flags_match_kernel(spark):
+    """Fuzz over the embedding controls (VERDICT r4 #2): @embed:false
+    agrees on the reference set, @explicit:true agrees on the
+    (id, property) output shape, against the kernel on random docs."""
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    checked = 0
+    for seed in range(10):
+        doc, frames = _random_doc_and_frames(seed)
+        quads = expanded_to_quads(expand(doc))
+        t = spark.createDataFrame([tuple(q) for q in quads], QUAD_SCHEMA)
+        subj_ids = {q.subject for q in quads}
+        for frame in frames:
+            # @embed: false — references only, same match set
+            expanded_frame = expand(
+                _to_kernel_frame({**frame, "@embed": False}), frame=True
+            )
+            matched = frame_expanded(expand(doc), expanded_frame)
+            want_refs = {
+                n["@id"] for n in matched if isinstance(n, dict) and "@id" in n
+            }
+            out = frame_subgraph(t, frame, embed=False)
+            assert out.columns == ["subject"]
+            assert _subjects(out) == (want_refs & subj_ids), (seed, frame)
+
+            # @explicit: true — only frame-named properties survive
+            expanded_frame = expand(
+                _to_kernel_frame({**frame, "@explicit": True}), frame=True
+            )
+            matched = frame_expanded(expand(doc), expanded_frame)
+            want_shape = set()
+            for node in matched:
+                if not isinstance(node, dict) or node.get("@id") not in subj_ids:
+                    continue
+                for prop in node:
+                    if prop != "@id":
+                        want_shape.add(
+                            (node["@id"], rdf_type if prop == "@type" else prop)
+                        )
+            got_shape = {
+                (r["subject"], r["predicate"])
+                for r in frame_subgraph(t, frame, depth=0, explicit=True).collect()
+            }
+            assert got_shape == want_shape, (seed, frame)
+            checked += 2
     assert checked >= 40
 
 

@@ -335,3 +335,99 @@ def test_negative_samples_are_non_edges_and_deterministic(spark):
 
     again = negative_samples(edges, k=3).collect()
     assert {tuple(r) for r in again} == {tuple(r) for r in got}
+
+
+def test_negative_samples_degree_weighted_distribution(spark):
+    """Degree-weighted sampling (VERDICT r4 #5): on a planted
+    hub-and-leaves graph the hub — max bucket replicas — is sampled as
+    a negative far more often than under uniform sampling and than any
+    single leaf; every sampled pair is still a non-edge; a brute-force
+    Python replica of the md5 arithmetic matches exactly."""
+    import hashlib
+    from collections import Counter
+
+    from jsonld_spark.operators.graph import (
+        NEG_BUCKET_CHARS,
+        NEG_DEG_MAX_REP,
+        NEG_DEG_UNIT,
+        NEG_PROBES,
+        negative_samples,
+        negative_samples_degree,
+    )
+
+    rows = [("hub", f"leaf{i}") for i in range(200)]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = negative_samples_degree(edges, k=4).collect()
+    edge_set = set(rows)
+    for r in got:
+        assert (r["node"], r["negative"]) not in edge_set
+        assert r["node"] != r["negative"]
+
+    counts = Counter(r["negative"] for r in got)
+    hub_count = counts.get("hub", 0)
+    leaf_counts = [counts.get(f"leaf{i}", 0) for i in range(200)]
+    mean_leaf = sum(leaf_counts) / len(leaf_counts)
+    # hub degree 200 -> 16 replicas vs 1 per leaf: the planted
+    # distribution check — hub dominates any leaf and the mean
+    assert hub_count >= 5 * max(mean_leaf, 0.01), (hub_count, mean_leaf)
+    assert hub_count > max(leaf_counts), (hub_count, max(leaf_counts))
+
+    uniform = Counter(
+        r["negative"] for r in negative_samples(edges, k=4).collect()
+    )
+    assert hub_count > 3 * max(uniform.get("hub", 0), 1), (
+        hub_count, uniform.get("hub", 0))
+
+    # brute-force replica: same replica buckets, same ordering
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    nodes = {s for s, _ in rows} | {d for _, d in rows}
+    degree = Counter()
+    for s, d in rows:
+        degree[s] += 1
+        degree[d] += 1
+    bucket_of = {}
+    for v in nodes:
+        rep = min(NEG_DEG_MAX_REP, -(-degree[v] // NEG_DEG_UNIT))
+        bucket_of[v] = {md5(f"{v}:{j}")[:NEG_BUCKET_CHARS] for j in range(rep)}
+    want = set()
+    for u in sorted(nodes):
+        keys = {md5(f"{u}#{i}")[:NEG_BUCKET_CHARS] for i in range(NEG_PROBES)}
+        cands = sorted(
+            (v for v in nodes
+             if v != u and (bucket_of[v] & keys) and (u, v) not in edge_set),
+            key=lambda v: (md5(f"{u}|{v}"), v),
+        )[:4]
+        for rank, v in enumerate(cands, 1):
+            want.add((u, v, rank))
+    assert {(r["node"], r["negative"], r["rank"]) for r in got} == want
+
+
+def test_ppr_with_prebuilt_esrc_is_identical(spark):
+    """A caller-prebuilt edges_with_outdeg table (VERDICT r4 #7) must
+    change nothing about the result — bit-identical ranks."""
+    from jsonld_spark.operators.graph import (
+        edges_with_outdeg,
+        personalized_pagerank_fixedpoint,
+    )
+
+    rows = [(f"n{i}", f"n{(i * 3 + 1) % 20}") for i in range(20)] + [
+        ("n0", f"n{i}") for i in range(2, 9)
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string").cache()
+    seeds = spark.createDataFrame([("n1",)], "node string")
+    base = {
+        (r["node"], r["rank_fp"])
+        for r in personalized_pagerank_fixedpoint(
+            edges, seeds, reverse=True
+        ).collect()
+    }
+    resrc = edges_with_outdeg(edges, reverse=True).cache()
+    via = {
+        (r["node"], r["rank_fp"])
+        for r in personalized_pagerank_fixedpoint(
+            edges, seeds, reverse=True, esrc=resrc
+        ).collect()
+    }
+    assert via == base and base
+    resrc.unpersist()
+    edges.unpersist()

@@ -185,3 +185,37 @@ def test_frame_and_trigram_plans_are_equality_joins(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan  # the profile join
+
+
+def test_frame_query_pushes_filters_to_parquet_scan(spark, tmp_path):
+    """A frame query over the PARQUET-backed triple table (the
+    production snapshot shape) must push its predicate/obj_value
+    equalities and the closure's obj_kind filter into the scan
+    (PushedFilters) — the shape a 100-TB frame query needs: the scan
+    reads only the frame-relevant row groups, not the whole graph."""
+    from jsonld_spark.operators.frame_query import frame_select, frame_subgraph
+
+    path = str(tmp_path / "triples.parquet")
+    kg_triples(spark, SF).write.parquet(path)
+    ptri = spark.read.parquet(path)
+
+    frame = {"@type": "http://kg.example/vocab#Turn",
+             "http://kg.example/vocab#tool": {}}
+    # the default scan-metadata print truncates the filter list at 100
+    # chars — long IRIs hide the very equalities under test
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        plan = physical_plan_of(frame_select(ptri, frame))
+        pushed = [seg[:800] for seg in plan.split("PushedFilters: ")[1:]]
+        assert pushed, plan
+        # the rdf:type equality and the tool-predicate equality both
+        # reach a parquet scan
+        assert any("EqualTo(predicate," in seg for seg in pushed), pushed
+        assert any("EqualTo(obj_value," in seg for seg in pushed), pushed
+
+        plan = physical_plan_of(frame_subgraph(ptri, frame, depth=1))
+        pushed = [seg[:800] for seg in plan.split("PushedFilters: ")[1:]]
+        # the closure hop's obj_kind='iri' filter reaches a scan too
+        assert any("EqualTo(obj_kind,iri)" in seg for seg in pushed), pushed
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")

@@ -39,13 +39,21 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     names = wanted or [n for n in queries if n in oracles]
     failures = 0
+    from jsonld_spark.operators import scratch
+
     for name in names:
         try:
-            sdf = queries[name](spark, sf_dir)
-            cols = sorted(sdf.columns)
-            srows = sorted(
-                tuple(str(r[c]) for c in cols) for r in sdf.collect()
-            )
+            # scope() releases only the caches THIS query tracked once
+            # its rows are collected — a full 56-query sweep would
+            # otherwise accumulate every operator-internal cache for
+            # the session's lifetime (ADVICE r4). The registry's own
+            # cached_triples/cached_edges are caller-owned and survive.
+            with scratch.scope():
+                sdf = queries[name](spark, sf_dir)
+                cols = sorted(sdf.columns)
+                srows = sorted(
+                    tuple(str(r[c]) for c in cols) for r in sdf.collect()
+                )
             # fetchall, NOT fetchdf: pandas coerces a nullable BIGINT
             # column to float64 (5 -> "5.0", NULL -> "nan") while the
             # Spark side renders "5"/"None" — native Python objects
