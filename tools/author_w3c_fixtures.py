@@ -2419,6 +2419,595 @@ COMPACT += [
     ),
 ]
 
+# --- J. compaction permutations (containers × aliasing × compactArrays),
+# per-graph flatten pruning, value-profile term selection (VERDICT r4 #3:
+# the official suite weights compaction heavily; compact/flatten were the
+# thinnest groups) ------------------------------------------------------
+
+COMPACT += [
+    (
+        "list object under a plain term emits an aliased @list key",
+        # no @list container on the term -> the list survives as an
+        # object whose key is compactIri('@list') = the keyword alias
+        # (Processor.php:1080-1087)
+        [{"@id": EX + "a",
+          EX + "p": [{"@list": [{"@value": "x"}, {"@value": "y"}]}]}],
+        {"myl": "@list", "p": EX + "p"},
+        {"@context": {"myl": "@list", "p": EX + "p"},
+         "@id": EX + "a", "p": {"myl": ["x", "y"]}},
+        {},
+    ),
+    (
+        "@index survives on a compacted list object",
+        # the inner 1-element list compacts to a scalar and is
+        # re-wrapped (Processor.php:1062-1066); @index rides along
+        [{"@id": EX + "a",
+          EX + "p": [{"@list": [{"@value": "x"}], "@index": "k0"}]}],
+        {"p": EX + "p"},
+        {"@context": {"p": EX + "p"},
+         "@id": EX + "a", "p": {"@index": "k0", "@list": ["x"]}},
+        {},
+    ),
+    (
+        "compactArrays=false keeps @list-container values as arrays",
+        [{"@id": EX + "a", EX + "p": [{"@list": [{"@value": "x"}]}]}],
+        {"lst": {"@id": EX + "p", "@container": "@list"}},
+        {"@context": {"lst": {"@id": EX + "p", "@container": "@list"}},
+         "@graph": [{"@id": EX + "a", "lst": ["x"]}]},
+        {"compactArrays": False},
+    ),
+    (
+        "language-map values fold to scalars even with compactArrays=false",
+        # map entries merge via mergeIntoProperty WITHOUT the asArray
+        # flag (Processor.php:1052) — the option only affects plain
+        # properties and the top-level wrapper (bug-compat pin)
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": "x", "@language": "en"},
+                     {"@value": "y", "@language": "de"}]}],
+        {"t": {"@id": EX + "p", "@container": "@language"}},
+        {"@context": {"t": {"@id": EX + "p", "@container": "@language"}},
+         "@graph": [{"@id": EX + "a", "t": {"de": "y", "en": "x"}}]},
+        {"compactArrays": False},
+    ),
+    (
+        "index-map values fold to scalars even with compactArrays=false",
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": "x", "@index": "k1"},
+                     {"@value": "y", "@index": "k2"}]}],
+        {"t": {"@id": EX + "p", "@container": "@index"}},
+        {"@context": {"t": {"@id": EX + "p", "@container": "@index"}},
+         "@graph": [{"@id": EX + "a", "t": {"k1": "x", "k2": "y"}}]},
+        {"compactArrays": False},
+    ),
+    (
+        "term @language:null captures plain strings under a default language",
+        # plain-string profile queries ['@null']['@language']['@null'],
+        # which only the null-language term populates
+        # (createInverseContext, Processor.php:1861-1867); the untyped
+        # term sits in the default-language bucket and takes the tagged
+        # value
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": "plain"},
+                     {"@value": "tagged", "@language": "en"}]}],
+        {"@language": "en", "p": {"@id": EX + "p", "@language": None},
+         "q": EX + "p"},
+        {"@context": {"@language": "en",
+                      "p": {"@id": EX + "p", "@language": None},
+                      "q": EX + "p"},
+         "@id": EX + "a", "p": "plain", "q": "tagged"},
+        {},
+    ),
+    (
+        "uncompactable value objects use @value/@language aliases",
+        [{"@id": EX + "a", EX + "p": [{"@value": "x", "@language": "fr"}]}],
+        {"v": "@value", "l": "@language", "p": EX + "p"},
+        {"@context": {"v": "@value", "l": "@language", "p": EX + "p"},
+         "@id": EX + "a", "p": {"l": "fr", "v": "x"}},
+        {},
+    ),
+    (
+        "non-matching typed value keeps the object with a compacted @type",
+        [{"@id": EX + "a", EX + "p": [{"@value": "v", "@type": EX + "T"}]}],
+        {"ex": EX, "p": EX + "p"},
+        {"@context": {"ex": EX, "p": EX + "p"},
+         "@id": "ex:a", "p": {"@type": "ex:T", "@value": "v"}},
+        {},
+    ),
+    (
+        "@type @vocab coercion compacts @id values through @vocab",
+        [{"@id": EX + "a", EX + "p": [{"@id": EX + "v#Thing"}]}],
+        {"@vocab": EX + "v#", "p": {"@id": EX + "p", "@type": "@vocab"}},
+        {"@context": {"@vocab": EX + "v#",
+                      "p": {"@id": EX + "p", "@type": "@vocab"}},
+         "@id": EX + "a", "p": "Thing"},
+        {},
+    ),
+    (
+        "@reverse term with @set container keeps the array",
+        [{"@id": EX + "p1",
+          "@reverse": {EX + "parent": [{"@id": EX + "c1"}]}}],
+        {"children": {"@reverse": EX + "parent", "@container": "@set"}},
+        {"@context": {"children": {"@reverse": EX + "parent",
+                                   "@container": "@set"}},
+         "@id": EX + "p1", "children": [{"@id": EX + "c1"}]},
+        {},
+    ),
+    (
+        "aliased @reverse carries the residual reverse map",
+        [{"@id": EX + "p1",
+          "@reverse": {EX + "parent": [{"@id": EX + "c1"}]}}],
+        {"rev": "@reverse", "ex": EX},
+        {"@context": {"rev": "@reverse", "ex": EX},
+         "@id": "ex:p1", "rev": {"ex:parent": {"@id": "ex:c1"}}},
+        {},
+    ),
+    (
+        "the @graph wrapper takes its keyword alias",
+        # JsonLD.php:294-296 looks the wrapper key up in the inverse
+        # context
+        [{"@id": EX + "a", EX + "p": [{"@value": "1"}]},
+         {"@id": EX + "b", EX + "p": [{"@value": "2"}]}],
+        {"g": "@graph", "p": EX + "p"},
+        {"@context": {"g": "@graph", "p": EX + "p"},
+         "g": [{"@id": EX + "a", "p": "1"},
+               {"@id": EX + "b", "p": "2"}]},
+        {},
+    ),
+    (
+        "empty arrays survive compaction",
+        [{"@id": EX + "a", EX + "p": [], EX + "q": [{"@value": "keep"}]}],
+        {"p": EX + "p", "q": EX + "q"},
+        {"@context": {"p": EX + "p", "q": EX + "q"},
+         "@id": EX + "a", "p": [], "q": "keep"},
+        {},
+    ),
+    (
+        "items split across terms by value profile (@id vs @vocab)",
+        # a term-mapped IRI value prefers the @vocab-coerced term, an
+        # unmapped one the @id-coerced term (compactIri preference
+        # order, Processor.php:1209-1216) — ONE expanded property
+        # splits into two compacted keys
+        [{"@id": EX + "a",
+          EX + "p": [{"@id": EX + "v#Thing"},
+                     {"@id": "http://other.example/x"}]}],
+        {"@vocab": EX + "v#",
+         "idp": {"@id": EX + "p", "@type": "@id"},
+         "vp": {"@id": EX + "p", "@type": "@vocab"},
+         "Thing": EX + "v#Thing"},
+        {"@context": {"@vocab": EX + "v#",
+                      "idp": {"@id": EX + "p", "@type": "@id"},
+                      "vp": {"@id": EX + "p", "@type": "@vocab"},
+                      "Thing": EX + "v#Thing"},
+         "@id": EX + "a", "idp": "http://other.example/x", "vp": "Thing"},
+        {},
+    ),
+    (
+        "mixed-profile list still selects the @list-container term",
+        # heterogeneous item profiles null the typeLang (getValueProfile,
+        # Processor.php:1397-1409); the ['@list']['@null']['@null']
+        # bucket still matches, and non-foldable items stay expanded
+        [{"@id": EX + "a",
+          EX + "p": [{"@list": [{"@value": "x"},
+                                {"@value": "y", "@language": "en"}]}]}],
+        {"lst": {"@id": EX + "p", "@container": "@list"}},
+        {"@context": {"lst": {"@id": EX + "p", "@container": "@list"}},
+         "@id": EX + "a",
+         "lst": ["x", {"@language": "en", "@value": "y"}]},
+        {},
+    ),
+    (
+        "node references group into an index map",
+        # compactValue drops the @index consumed as the map key
+        # (Processor.php:1148-1150)
+        [{"@id": EX + "a", EX + "p": [{"@id": EX + "b", "@index": "k1"}]}],
+        {"t": {"@id": EX + "p", "@container": "@index"}},
+        {"@context": {"t": {"@id": EX + "p", "@container": "@index"}},
+         "@id": EX + "a", "t": {"k1": {"@id": EX + "b"}}},
+        {},
+    ),
+    (
+        "indexed values pick the index-map term, plain ones the plain term",
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": "x", "@index": "k"}, {"@value": "y"}]}],
+        {"ix": {"@id": EX + "p", "@container": "@index"}, "pl": EX + "p"},
+        {"@context": {"ix": {"@id": EX + "p", "@container": "@index"},
+                      "pl": EX + "p"},
+         "@id": EX + "a", "ix": {"k": "x"}, "pl": "y"},
+        {},
+    ),
+]
+
+FLATTEN += [
+    (
+        "reference-only in a named graph is pruned there, kept where propertied",
+        # hasNodeProperties runs PER GRAPH (Processor.php:2969-2972)
+        {"@graph": [
+            {"@id": EX + "x", EX + "p": "v"},
+            {"@id": EX + "g",
+             "@graph": [{"@id": EX + "y", EX + "q": {"@id": EX + "x"}}]},
+        ]},
+        [{"@id": EX + "g",
+          "@graph": [{"@id": EX + "y", EX + "q": [{"@id": EX + "x"}]}]},
+         {"@id": EX + "x", EX + "p": [{"@value": "v"}]}],
+    ),
+    (
+        "list members relabel and their blank nodes flatten out",
+        {"@graph": [
+            {"@id": EX + "a", EX + "p": {"@list": [{"@id": "_:m"}]}},
+            {"@id": "_:m", EX + "q": "v"},
+        ]},
+        [{"@id": "_:b0", EX + "q": [{"@value": "v"}]},
+         {"@id": EX + "a", EX + "p": [{"@list": [{"@id": "_:b0"}]}]}],
+    ),
+    (
+        "embedded node inside a named graph splits out within that graph",
+        {"@id": EX + "g",
+         "@graph": [{"@id": EX + "a",
+                     EX + "p": {"@id": EX + "b", EX + "q": "v"}}]},
+        [{"@id": EX + "g",
+          "@graph": [{"@id": EX + "a", EX + "p": [{"@id": EX + "b"}]},
+                     {"@id": EX + "b", EX + "q": [{"@value": "v"}]}]}],
+    ),
+    (
+        "blank @type values relabel inside a named graph",
+        {"@id": EX + "g",
+         "@graph": [{"@id": EX + "a", "@type": "_:t"},
+                    {"@id": "_:t", EX + "p": "v"}]},
+        [{"@id": EX + "g",
+          "@graph": [{"@id": "_:b0", EX + "p": [{"@value": "v"}]},
+                     {"@id": EX + "a", "@type": ["_:b0"]}]}],
+    ),
+    (
+        "a graph name carrying its own default-graph properties",
+        {"@graph": [
+            {"@id": EX + "g", EX + "p": "graph-node"},
+            {"@id": EX + "g",
+             "@graph": [{"@id": EX + "a", EX + "q": "inner"}]},
+        ]},
+        [{"@id": EX + "g", EX + "p": [{"@value": "graph-node"}],
+          "@graph": [{"@id": EX + "a", EX + "q": [{"@value": "inner"}]}]}],
+    ),
+    (
+        "free-floating values vanish in flatten",
+        {"@graph": ["free string", {"@value": 42},
+                    {"@id": EX + "a", EX + "p": "v"}]},
+        [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}],
+    ),
+    (
+        "reference-only in every graph: node absent everywhere",
+        {"@graph": [
+            {"@id": EX + "g1",
+             "@graph": [{"@id": EX + "a", EX + "p": {"@id": EX + "ref"}}]},
+            {"@id": EX + "g2",
+             "@graph": [{"@id": EX + "b", EX + "q": {"@id": EX + "ref"}}]},
+        ]},
+        [{"@id": EX + "g1",
+          "@graph": [{"@id": EX + "a", EX + "p": [{"@id": EX + "ref"}]}]},
+         {"@id": EX + "g2",
+          "@graph": [{"@id": EX + "b", EX + "q": [{"@id": EX + "ref"}]}]}],
+    ),
+    (
+        "@index survives flatten on nodes in a named graph",
+        {"@id": EX + "g",
+         "@graph": [{"@id": EX + "a", "@index": "k", EX + "p": "v"}]},
+        [{"@id": EX + "g",
+          "@graph": [{"@id": EX + "a", "@index": "k",
+                      EX + "p": [{"@value": "v"}]}]}],
+    ),
+]
+
+EXPAND += [
+    (
+        "second context in an array overrides the first's term",
+        {"@context": [{"p": EX + "p1"}, {"p": EX + "p2"}],
+         "@id": EX + "a", "p": "v"},
+        [{"@id": EX + "a", EX + "p2": [{"@value": "v"}]}],
+    ),
+    (
+        "term @language does not tag non-string values",
+        {"@context": {"p": {"@id": EX + "p", "@language": "de"}},
+         "@id": EX + "a", "p": ["wert", 5]},
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": "wert", "@language": "de"}, {"@value": 5}]}],
+    ),
+    (
+        "mixed literal and node-object values coexist",
+        {"@context": {"p": EX + "p"},
+         "@id": EX + "a", "p": ["lit", {"@id": EX + "b"}]},
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": "lit"}, {"@id": EX + "b"}]}],
+    ),
+    (
+        "term @id defined via a CURIE resolves through the prefix",
+        {"@context": {"foaf": "http://xmlns.com/foaf/0.1/",
+                      "name": {"@id": "foaf:name"}},
+         "@id": EX + "a", "name": "N"},
+        [{"@id": EX + "a",
+          "http://xmlns.com/foaf/0.1/name": [{"@value": "N"}]}],
+    ),
+    (
+        "@type @id with @set container coerces each entry",
+        {"@context": {"p": {"@id": EX + "p", "@type": "@id",
+                            "@container": "@set"}},
+         "@id": EX + "a", "p": [EX + "c1", EX + "c2"]},
+        [{"@id": EX + "a",
+          EX + "p": [{"@id": EX + "c1"}, {"@id": EX + "c2"}]}],
+    ),
+    (
+        "aliased @graph unwraps at the top level",
+        {"@context": {"g": "@graph"},
+         "g": [{"@id": EX + "a", EX + "p": "v"}]},
+        [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}],
+    ),
+]
+
+TORDF += [
+    (
+        "language-tagged strings inside a list chain",
+        {"@id": EX + "n",
+         EX + "p": {"@list": [{"@value": "bonjour", "@language": "fr"}]}},
+        [f'<{EX}n> <{EX}p> _:b0 .',
+         f'_:b0 <{RDF}first> "bonjour"@fr .',
+         f'_:b0 <{RDF}rest> <{RDF}nil> .'],
+        {},
+    ),
+    (
+        "reverse + list + literal mix inside one named graph",
+        {"@id": EX + "g",
+         "@graph": [{"@id": EX + "a",
+                     EX + "p": {"@list": [1]},
+                     "@reverse": {EX + "r": [{"@id": EX + "b"}]}}]},
+        [f'<{EX}a> <{EX}p> _:b0 <{EX}g> .',
+         f'_:b0 <{RDF}first> "1"^^<{XSD}integer> <{EX}g> .',
+         f'_:b0 <{RDF}rest> <{RDF}nil> <{EX}g> .',
+         f'<{EX}b> <{EX}r> <{EX}a> <{EX}g> .'],
+        {},
+    ),
+    (
+        "blank node as @type emits an rdf:type bnode object",
+        {"@id": EX + "a", "@type": "_:t"},
+        [f'<{EX}a> <{RDF_TYPE_IRI}> _:b0 .'],
+        {},
+    ),
+    (
+        "typed string with a numeric-looking lexical stays verbatim",
+        {"@id": EX + "a",
+         EX + "p": {"@value": "5.5", "@type": XSD + "integer"}},
+        [f'<{EX}a> <{EX}p> "5.5"^^<{XSD}integer> .'],
+        {},
+    ),
+    (
+        "identical literal emitted in both its graphs",
+        {"@graph": [
+            {"@id": EX + "a", EX + "p": "v"},
+            {"@id": EX + "g",
+             "@graph": [{"@id": EX + "a", EX + "p": "v"}]},
+        ]},
+        [f'<{EX}a> <{EX}p> "v" .',
+         f'<{EX}a> <{EX}p> "v" <{EX}g> .'],
+        {},
+    ),
+]
+
+FROMRDF += [
+    (
+        "custom datatypes stay typed values under useNativeTypes",
+        [f'<{EX}a> <{EX}p> "x"^^<{EX}dt> .'],
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": "x", "@type": EX + "dt"}]}],
+        {"useNativeTypes": True},
+    ),
+    (
+        "same literal in two graphs appears in both nodes",
+        [f'<{EX}a> <{EX}p> "v" .',
+         f'<{EX}a> <{EX}p> "v" <{EX}g> .'],
+        [{"@id": EX + "a", EX + "p": [{"@value": "v"}]},
+         {"@id": EX + "g",
+          "@graph": [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}]}],
+        {},
+    ),
+    (
+        "double rdf:first makes the chain malformed; both values survive",
+        [f'<{EX}a> <{EX}p> _:c .',
+         f'_:c <{RDF}first> "x" .',
+         f'_:c <{RDF}first> "y" .',
+         f'_:c <{RDF}rest> <{RDF}nil> .'],
+        [{"@id": "_:c",
+          RDF + "first": [{"@value": "x"}, {"@value": "y"}],
+          RDF + "rest": [{"@list": []}]},
+         {"@id": EX + "a", EX + "p": [{"@id": "_:c"}]}],
+        {},
+    ),
+]
+
+
+# --- K. fallback term selection, empty-suffix CURIEs, graph-name blank
+# nodes, cross-graph reverse, aliased keywords in data position ------------
+
+COMPACT += [
+    (
+        "plain strings bypass a language-map-only term",
+        # a @language-container term registers only under the
+        # ['@language'] bucket; plain-string profiles query
+        # @set/@null containers, miss, and fall back to CURIE keys
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": "x"},
+                     {"@value": "en-val", "@language": "en"}]}],
+        {"t": {"@id": EX + "p", "@container": "@language"}, "ex": EX},
+        {"@context": {"t": {"@id": EX + "p", "@container": "@language"},
+                      "ex": EX},
+         "@id": "ex:a", "ex:p": "x", "t": {"en": "en-val"}},
+        {},
+    ),
+    (
+        "non-list values bypass a @list-container-only term",
+        [{"@id": EX + "a",
+          EX + "p": [{"@list": [{"@value": "a"}]}, {"@value": "v"}]}],
+        {"lst": {"@id": EX + "p", "@container": "@list"}, "ex": EX},
+        {"@context": {"lst": {"@id": EX + "p", "@container": "@list"},
+                      "ex": EX},
+         "@id": "ex:a", "ex:p": "v", "lst": ["a"]},
+        {},
+    ),
+    (
+        "empty CURIE suffixes are never produced",
+        # the prefix IRI itself cannot compact to 'ex:' — the CURIE
+        # loop requires a non-empty suffix (Processor.php:1242-1244)
+        [{"@id": EX, EX + "p": [{"@value": "v"}]}],
+        {"ex": EX},
+        {"@context": {"ex": EX},
+         "@id": EX, "ex:p": "v"},
+        {},
+    ),
+    (
+        "blank node references pass through @id coercion",
+        [{"@id": EX + "a", EX + "p": [{"@id": "_:x"}]}],
+        {"p": {"@id": EX + "p", "@type": "@id"}},
+        {"@context": {"p": {"@id": EX + "p", "@type": "@id"}},
+         "@id": EX + "a", "p": "_:x"},
+        {},
+    ),
+    (
+        "node @index compacts through its keyword alias",
+        [{"@id": EX + "a", "@index": "k", EX + "p": [{"@value": "v"}]}],
+        {"idx": "@index", "p": EX + "p"},
+        {"@context": {"idx": "@index", "p": EX + "p"},
+         "@id": EX + "a", "idx": "k", "p": "v"},
+        {},
+    ),
+    (
+        "native values without a matching type bypass the typed term",
+        # a term carrying @type registers ONLY under ['@type'][T];
+        # native values profile as @language/@null, miss every bucket,
+        # and the property key stays the absolute IRI
+        [{"@id": EX + "a", EX + "p": [{"@value": 5}, {"@value": True}]}],
+        {"p": {"@id": EX + "p", "@type": XSD + "integer"}},
+        {"@context": {"p": {"@id": EX + "p", "@type": XSD + "integer"}},
+         "@id": EX + "a", EX + "p": [5, True]},
+        {},
+    ),
+    (
+        "@type arrays mix term and CURIE compactions",
+        [{"@id": EX + "a", "@type": [EX + "T", EX + "U"]}],
+        {"T": EX + "T", "ex": EX},
+        {"@context": {"T": EX + "T", "ex": EX},
+         "@id": "ex:a", "@type": ["T", "ex:U"]},
+        {},
+    ),
+    (
+        "multiple values merge into one array under the term",
+        [{"@id": EX + "a", EX + "p": [{"@value": "v1"}, {"@value": "v2"}]}],
+        {"p": EX + "p"},
+        {"@context": {"p": EX + "p"},
+         "@id": EX + "a", "p": ["v1", "v2"]},
+        {},
+    ),
+]
+
+FLATTEN += [
+    (
+        "blank graph names relabel and stay referenceable across graphs",
+        {"@graph": [
+            {"@id": "_:g1", "@graph": [{"@id": EX + "a", EX + "p": "v1"}]},
+            {"@id": "_:g2",
+             "@graph": [{"@id": EX + "b", EX + "q": {"@id": "_:g1"}}]},
+        ]},
+        [{"@id": "_:b0",
+          "@graph": [{"@id": EX + "a", EX + "p": [{"@value": "v1"}]}]},
+         {"@id": "_:b1",
+          "@graph": [{"@id": EX + "b", EX + "q": [{"@id": "_:b0"}]}]}],
+    ),
+    (
+        "reverse edge in a named graph materializes its target there",
+        # the forward edge c -> parent -> p1 lives in graph g; p1 is
+        # then @id-only IN g and is pruned there, while c gains the
+        # property inside g and keeps its default-graph label node
+        {"@graph": [
+            {"@id": EX + "c", EX + "lbl": "child"},
+            {"@id": EX + "g",
+             "@graph": [{"@id": EX + "p1",
+                         "@reverse": {EX + "parent": [{"@id": EX + "c"}]}}]},
+        ]},
+        [{"@id": EX + "c", EX + "lbl": [{"@value": "child"}]},
+         {"@id": EX + "g",
+          "@graph": [{"@id": EX + "c",
+                      EX + "parent": [{"@id": EX + "p1"}]}]}],
+    ),
+    (
+        "three nesting levels hoist to three sibling graph nodes",
+        {"@id": EX + "g1",
+         "@graph": [{"@id": EX + "g2",
+                     "@graph": [{"@id": EX + "g3",
+                                 "@graph": [{"@id": EX + "a",
+                                             EX + "p": "v"}]}]}]},
+        [{"@id": EX + "g1", "@graph": []},
+         {"@id": EX + "g2", "@graph": []},
+         {"@id": EX + "g3",
+          "@graph": [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}]}],
+    ),
+    (
+        "top-level @list free-floats away in flatten",
+        {"@list": ["x"]},
+        [],
+    ),
+    (
+        "keyword-aliased @graph input flattens identically",
+        {"@context": {"g": "@graph", "p": EX + "p"},
+         "g": [{"@id": EX + "b", "p": "v"},
+               {"@id": EX + "a", "p": "w"}]},
+        [{"@id": EX + "a", EX + "p": [{"@value": "w"}]},
+         {"@id": EX + "b", EX + "p": [{"@value": "v"}]}],
+    ),
+]
+
+EXPAND += [
+    (
+        "embedded contexts scope to their subtree",
+        {"@context": {"p": EX + "p1"},
+         "@id": EX + "a",
+         "p": {"@context": {"p": EX + "p2"}, "@id": EX + "b",
+               "p": "inner"}},
+        [{"@id": EX + "a",
+          EX + "p1": [{"@id": EX + "b",
+                       EX + "p2": [{"@value": "inner"}]}]}],
+    ),
+    (
+        "aliased @list in data position builds a list object",
+        {"@context": {"myl": "@list", "p": EX + "p"},
+         "@id": EX + "a", "p": {"myl": ["a", "b"]}},
+        [{"@id": EX + "a",
+          EX + "p": [{"@list": [{"@value": "a"}, {"@value": "b"}]}]}],
+    ),
+    (
+        "null inside a plain value array is dropped",
+        {"@context": {"p": EX + "p"},
+         "@id": EX + "a", "p": ["a", None]},
+        [{"@id": EX + "a", EX + "p": [{"@value": "a"}]}],
+    ),
+]
+
+TORDF += [
+    (
+        "blank subject and blank object relabel independently",
+        {"@id": "_:s", EX + "p": {"@id": "_:o"}},
+        [f'_:b0 <{EX}p> _:b1 .'],
+        {},
+    ),
+]
+
+FROMRDF += [
+    (
+        "language-tagged literal inside a named graph",
+        [f'<{EX}a> <{EX}p> "bonjour"@fr <{EX}g> .'],
+        [{"@id": EX + "g",
+          "@graph": [{"@id": EX + "a",
+                      EX + "p": [{"@value": "bonjour",
+                                  "@language": "fr"}]}]}],
+        {},
+    ),
+]
+
+
 def _write(path: str, text: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w", encoding="utf-8") as fh:
