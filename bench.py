@@ -47,7 +47,9 @@ HEADLINE = [
     "kg_frame_tool_turn_subgraph",
     "text_langid_trigram",
     "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
+    # r5: values + near-pairs as one union suite — a superset of r4's
+    # dedup_simhash_pairs entry (which already computed the values)
+    "dedup_simhash_suite",
     "sim_lsh_ann_topk",
     "text_quality",
     # r5: the rel_* family is one union suite (registry consolidation,

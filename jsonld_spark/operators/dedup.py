@@ -382,14 +382,21 @@ def simhash_block_combos(blocks: int = SIMHASH_BLOCKS,
 
 
 def simhash_near_pairs(
-    spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING
+    spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING,
+    sims: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming: Manku multi-block
     blocking (complete by pigeonhole: <= d differing bits leave some
     B-d blocks untouched), exact bit_count(xor) verification. Key
     space is 2^((B-d)*block_bits) per combo — bucket count scales with
-    the corpus instead of capping at 2^15."""
-    sims = simhash_values(spark, sf_dir)
+    the corpus instead of capping at 2^15.
+
+    ``sims``: an optional precomputed (doc_id, simhash) frame (e.g. a
+    cached ``simhash_values`` a caller also consumes directly) — the
+    60-bit aggregate is the expensive stage, so sharing it halves a
+    values+pairs pipeline."""
+    if sims is None:
+        sims = simhash_values(spark, sf_dir)
     block_bits = SIMHASH_BITS // SIMHASH_BLOCKS
 
     def block(b: int):

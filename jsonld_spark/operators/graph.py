@@ -306,16 +306,16 @@ def _pagerank_core(
     # seeds absent from the graph carry no mass. Intersecting via the
     # full node table costs a node-set shuffle distinct (the 100-TB
     # anti-pattern for a lookup of a handful of seeds); broadcasting
-    # the tiny seed set against the two edge-endpoint projections
-    # filters map-side instead — two cache scans, shuffle carries only
-    # matched seeds (measured 3.8 s -> 1.3 s at sf0.1 under load)
+    # the tiny seed set against ONE exploded-endpoint scan filters
+    # map-side, and the shuffle carries only matched seeds (r3: 3.8 s
+    # -> 1.3 s vs the node-table distinct; r5: one explode scan halves
+    # the two-projection form's cold cost, 2.6 s -> 1.1 s — profiling
+    # showed THIS subplan, not per-round work or the esrc build, was
+    # the residual PPR-vs-PR gap, tools/profile_ppr.py)
     seed_nodes = seeds.select("node").distinct()
     present = (
-        e.select(F.col("src").alias("node"))
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
         .join(F.broadcast(seed_nodes), "node")
-        .unionByName(
-            e.select(F.col("dst").alias("node")).join(F.broadcast(seed_nodes), "node")
-        )
         .distinct()
     )
     seed_base = scratch.track(

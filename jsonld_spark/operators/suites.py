@@ -164,15 +164,19 @@ def dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 60-bit simhash values + Manku-blocked near pairs as one
     union. Schema: (part, a, b, v) — values: a=doc_id, v=simhash;
     pairs: a/b=doc pair, v=hamming distance."""
-    from jsonld_spark.operators import dedup
+    from jsonld_spark.operators import dedup, scratch
 
-    vals = dedup.simhash_values(spark, sf_dir).select(
+    # the 60-bit signature aggregate is the expensive stage and both
+    # parts consume it — computed once, scratch-cached (caller
+    # releases; measured 4.2 s -> see BENCH/BASELINE.md round 5)
+    sims = scratch.track(dedup.simhash_values(spark, sf_dir))
+    vals = sims.select(
         F.lit("values").alias("part"),
         F.col("doc_id").alias("a"),
         _nl().alias("b"),
         F.col("simhash").alias("v"),
     )
-    pairs = dedup.simhash_near_pairs(spark, sf_dir).select(
+    pairs = dedup.simhash_near_pairs(spark, sf_dir, sims=sims).select(
         F.lit("pairs").alias("part"),
         F.col("doc_a").alias("a"),
         F.col("doc_b").alias("b"),

@@ -35,7 +35,15 @@ def main() -> None:
     out = {"metric": "ann_recall_vs_brute", "sf_dir": SF_DIR, "n_vecs": n_vecs,
            "k": S.TOP_K, "n_queries": S.N_QUERIES,
            "brute_sec": round(brute_sec, 2), "variants": {}}
-    for name, fn in (("lsh_multiprobe", S.lsh_ann_topk), (f"ivf_nprobe{S.IVF_NPROBE}", S.ivf_topk)):
+    variants = (
+        # the recall curve (VERDICT r4 #4): single-table is the r1-r4
+        # construction; multitable is the round-5 default (L bit-slice
+        # tables over the same sign word, OR-combined candidates)
+        ("lsh_single_table", lambda sp, sf: S.lsh_ann_topk(sp, sf, max_tables=1)),
+        ("lsh_multitable", S.lsh_ann_topk),
+        (f"ivf_nprobe{S.IVF_NPROBE}", S.ivf_topk),
+    )
+    for name, fn in variants:
         t0 = time.time()
         got = pairs(fn(spark, SF_DIR))
         sec = time.time() - t0
