@@ -45,7 +45,9 @@ HEADLINE = [
     # framing + trigram-langid families (added round 4; same caveat —
     # totals grow, per-query numbers stay comparable across rounds)
     "kg_frame_tool_turn_subgraph",
-    "text_langid_trigram",
+    # r5: marker + trigram langid as one union suite (the trigram part
+    # dominates; the marker part adds ~0.1 s of corpus-doc scoring)
+    "text_langid_suite",
     "dedup_minhash_lsh",
     # r5: values + near-pairs as one union suite — a superset of r4's
     # dedup_simhash_pairs entry (which already computed the values)

@@ -535,6 +535,72 @@ def negative_samples_degree(
     return _rank_non_edge_candidates(cand, edges, k)
 
 
+NS_MAX_DEG = 64     # neighbors above this degree carry no signal
+NS_MIN_COMMON = 2   # emit pairs sharing at least this many neighbors
+
+
+def neighbor_similarity(
+    edges: DataFrame,
+    max_deg: int = NS_MAX_DEG,
+    min_common: int = NS_MIN_COMMON,
+) -> DataFrame:
+    """Jaccard similarity of UNDIRECTED neighbor sets — the
+    entity-resolution blocking primitive ("two entities sharing many
+    neighbors are merge candidates").
+
+    Neighbor sets are restricted to NON-HUB neighbors (degree <=
+    ``max_deg``): a ubiquitous node (the E0 head entity connects ~44%
+    of mentions) is shared by *everything* and carries no similarity
+    signal — exactly the stop-word argument — while enumerating its
+    wedges is quadratic in its degree (the all-pairs blowup this repo
+    never does). With the cap, candidate generation is a self-join on
+    the shared NEIGHBOR and per-neighbor fan-out is bounded by
+    C(max_deg, 2): complete for every pair sharing >= 1 non-hub
+    neighbor, linear-in-|V| work. Jaccard uses the same filtered sets
+    (consistent semantics, exact SQL oracle).
+
+    Output: (node_a, node_b, n_common, deg_a, deg_b, jaccard) for
+    pairs with ``n_common >= min_common``, node_a < node_b.
+    """
+    und = scratch.track(
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        ).distinct()
+    )
+    adj = und.select(F.col("u").alias("n"), F.col("v").alias("nb")).unionAll(
+        und.select(F.col("v").alias("n"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("nb").agg(F.count("*").alias("nb_deg"))
+    # keep only non-hub NEIGHBORS; the nodes being compared may be hubs
+    nb_small = scratch.track(
+        adj.join(deg.where(F.col("nb_deg") <= max_deg), "nb").select("n", "nb")
+    )
+    fdeg = nb_small.groupBy("n").agg(F.count("*").alias("fdeg"))
+    wedges = (
+        nb_small.alias("a")
+        .join(nb_small.alias("b"), "nb")
+        .where(F.col("a.n") < F.col("b.n"))
+        .select(F.col("a.n").alias("node_a"), F.col("b.n").alias("node_b"))
+    )
+    common = (
+        wedges.groupBy("node_a", "node_b")
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    return (
+        common.join(fdeg.withColumnRenamed("n", "node_a")
+                    .withColumnRenamed("fdeg", "deg_a"), "node_a")
+        .join(fdeg.withColumnRenamed("n", "node_b")
+              .withColumnRenamed("fdeg", "deg_b"), "node_b")
+        .select(
+            "node_a", "node_b", "n_common", "deg_a", "deg_b",
+            (F.col("n_common")
+             / (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+             ).alias("jaccard"),
+        )
+    )
+
+
 def degree_histogram(edges: DataFrame) -> DataFrame:
     """(degree, n_nodes): distribution of TOTAL degree (in + out) over
     the directed edge set — the first thing to look at before choosing

@@ -202,10 +202,11 @@ FROM ({dedup.simhash_near_pairs_sql()}) sp"""
 def kg_adjacency_suite(
     spark: SparkSession, sf_dir: str, triples: DataFrame
 ) -> DataFrame:
-    """Forward adjacency summary + materialized adjacency lists as one
-    union. Schema: (part, subject, edges, n1, n2) — counts:
-    n1=n_predicates, n2=n_values; lists: edges=sorted edge list,
-    n1=n_edges."""
+    """Forward adjacency summary + materialized adjacency lists +
+    REVERSE adjacency (round 5) as one union. Schema:
+    (part, subject, edges, n1, n2) — counts: n1=n_predicates,
+    n2=n_values; lists: edges=sorted edge list, n1=n_edges; reverse:
+    subject=pointed-at node, n1=n_in_subjects, n2=n_in_edges."""
     from jsonld_spark.operators import kg_queries
 
     counts = kg_queries.adjacency(spark, sf_dir, triples=triples).select(
@@ -222,7 +223,14 @@ def kg_adjacency_suite(
         F.col("n_edges").alias("n1"),
         _nl().alias("n2"),
     )
-    return counts.unionByName(lists)
+    rev = kg_queries.reverse_adjacency(spark, sf_dir, triples=triples).select(
+        F.lit("reverse").alias("part"),
+        F.col("node").alias("subject"),
+        _ns().alias("edges"),
+        F.col("n_in_subjects").alias("n1"),
+        F.col("n_in_edges").alias("n2"),
+    )
+    return counts.unionByName(lists).unionByName(rev)
 
 
 def kg_adjacency_suite_sql() -> str:
@@ -234,7 +242,10 @@ SELECT 'counts' AS part, subject, CAST(NULL AS VARCHAR) AS edges,
 FROM ({O.kg_adjacency_sql()}) ac
 UNION ALL
 SELECT 'lists', subject, edges, n_edges, CAST(NULL AS BIGINT)
-FROM ({O.kg_adjacency_lists_sql()}) al"""
+FROM ({O.kg_adjacency_lists_sql()}) al
+UNION ALL
+SELECT 'reverse', node, NULL, n_in_subjects, n_in_edges
+FROM ({O.kg_reverse_adjacency_sql()}) ar"""
 
 
 # --- bounded + unbounded chain closures (2 -> 1) ---------------------------
@@ -271,3 +282,119 @@ def frame_lang_suite_sql(all_sql: str, scoped_sql: str) -> str:
 SELECT 'merged' AS part, subject FROM ({all_sql}) fa
 UNION ALL
 SELECT 'scoped', subject FROM ({scoped_sql}) fs"""
+
+
+# --- brute + IVF top-k (2 -> 1) --------------------------------------------
+
+def sim_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k + IVF approximate top-k as one union.
+    Schema: (part, query_id, rank, neighbor_id) — both parts share it
+    natively, so no value column is weakened."""
+    from jsonld_spark.operators import similarity
+
+    b = similarity.brute_force_topk(spark, sf_dir).select(
+        F.lit("brute").alias("part"), "query_id", "rank", "neighbor_id"
+    )
+    i = similarity.ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("part"), "query_id", "rank", "neighbor_id"
+    )
+    return b.unionByName(i)
+
+
+def sim_topk_suite_sql() -> str:
+    from jsonld_spark.operators import similarity
+
+    return f"""
+SELECT 'brute' AS part, query_id, rank, neighbor_id
+FROM ({similarity.brute_force_topk_sql()}) sb
+UNION ALL
+SELECT 'ivf', query_id, rank, neighbor_id
+FROM ({similarity.ivf_topk_sql()}) si"""
+
+
+# --- marker + trigram language ID (2 -> 1) ---------------------------------
+
+def text_langid_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word-marker language ID (corpus docs) + Cavnar-Trenkle
+    trigram language ID (planted multilingual fixture) as one union.
+    Schema: (part, doc_id, ref_lang, lang_guess, detail) — detail
+    packs each variant's full evidence columns ('|'-joined), so the
+    value check keeps its strength."""
+    from jsonld_spark.operators import text
+
+    score_cols = [f"score_{lang}" for lang in sorted(text.LANG_MARKERS)]
+    marker = text.language_id(spark, sf_dir).select(
+        F.lit("marker").alias("part"),
+        "doc_id",
+        F.col("declared_lang").alias("ref_lang"),
+        "lang_guess",
+        F.concat_ws("|", *[F.col(c).cast("string") for c in score_cols]
+                    ).alias("detail"),
+    )
+    tri = text.language_id_trigram_planted(spark, sf_dir).select(
+        F.lit("trigram").alias("part"),
+        "doc_id",
+        F.col("true_lang").alias("ref_lang"),
+        "lang_guess",
+        F.concat_ws(
+            "|", F.col("dist").cast("string"), F.col("correct").cast("string")
+        ).alias("detail"),
+    )
+    return marker.unionByName(tri)
+
+
+def text_langid_suite_sql() -> str:
+    from jsonld_spark.operators import text
+
+    score_concat = " || '|' || ".join(
+        f"CAST(score_{lang} AS VARCHAR)" for lang in sorted(text.LANG_MARKERS)
+    )
+    return f"""
+SELECT 'marker' AS part, doc_id, declared_lang AS ref_lang, lang_guess,
+       {score_concat} AS detail
+FROM ({text.language_id_sql()}) lm
+UNION ALL
+SELECT 'trigram', doc_id, true_lang, lang_guess,
+       CAST(dist AS VARCHAR) || '|' || CAST(correct AS VARCHAR)
+FROM ({text.language_id_trigram_sql()}) lt"""
+
+
+# --- as-of + binned-range interval joins (new family, round 5) -------------
+
+def rel_interval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """as_of_join (event -> latest profile version) + binned_range_join
+    (event -> containing maintenance window) as one union. Schema:
+    (part, event_id, user_id, ts, v1, v2) — asof: ts formatted,
+    v1=version, v2=profile_value; range: v1=win_id."""
+    from jsonld_spark.operators import interval
+
+    a = interval.asof_event_profiles(spark, sf_dir).select(
+        F.lit("asof").alias("part"),
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        F.col("version").alias("v1"),
+        F.col("profile_value").alias("v2"),
+    )
+    r = interval.events_in_windows(spark, sf_dir).select(
+        F.lit("range").alias("part"),
+        "event_id",
+        "user_id",
+        _ns().alias("ts"),
+        F.col("win_id").alias("v1"),
+        _nd().alias("v2"),
+    )
+    return a.unionByName(r)
+
+
+def rel_interval_suite_sql() -> str:
+    from jsonld_spark.operators import interval
+
+    return f"""
+SELECT 'asof' AS part, event_id, user_id,
+       strftime(ts, '{_TS_FMT_SQL}') AS ts, version AS v1,
+       profile_value AS v2
+FROM ({interval.asof_event_profiles_sql()}) ia
+UNION ALL
+SELECT 'range', event_id, user_id, NULL, win_id, NULL
+FROM ({interval.events_in_windows_sql()}) ir"""

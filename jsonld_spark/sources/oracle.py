@@ -268,6 +268,35 @@ SELECT node, cand AS negative, rank FROM ranked WHERE rank <= {k}"""
     )
 
 
+def kg_neighbor_similarity_sql(max_deg: int, min_common: int) -> str:
+    """Oracle for neighbor_similarity (operators/graph.py): Jaccard of
+    hub-filtered undirected neighbor sets — same degree cap, same
+    candidate semantics; MATERIALIZED CTEs for the multi-referenced
+    tables (the DuckDB inlining landmine)."""
+    return (
+        _graph_edges_ctes()
+        + f""",
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges),
+adj AS MATERIALIZED (
+  SELECT u AS n, v AS nb FROM und UNION ALL SELECT v, u FROM und),
+nbdeg AS (SELECT nb, COUNT(*) AS d FROM adj GROUP BY nb),
+small AS MATERIALIZED (
+  SELECT a.n, a.nb FROM adj a JOIN nbdeg USING (nb) WHERE nbdeg.d <= {max_deg}),
+fdeg AS MATERIALIZED (SELECT n, COUNT(*) AS fdeg FROM small GROUP BY n),
+common AS (
+  SELECT a.n AS node_a, b.n AS node_b, COUNT(*) AS n_common
+  FROM small a JOIN small b ON a.nb = b.nb AND a.n < b.n
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_common})
+SELECT node_a, node_b, n_common, fa.fdeg AS deg_a, fb.fdeg AS deg_b,
+       CAST(n_common AS DOUBLE) /
+         CAST(fa.fdeg + fb.fdeg - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN fdeg fa ON fa.n = node_a
+JOIN fdeg fb ON fb.n = node_b"""
+    )
+
+
 def kg_negative_samples_degree_sql(
     k: int, probes: int, bucket_chars: int, unit: int, max_rep: int
 ) -> str:

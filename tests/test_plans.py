@@ -219,3 +219,30 @@ def test_frame_query_pushes_filters_to_parquet_scan(spark, tmp_path):
         assert any("EqualTo(obj_kind,iri)" in seg for seg in pushed), pushed
     finally:
         spark.conf.unset("spark.sql.maxMetadataStringLength")
+
+
+def test_interval_and_similarity_plans_are_equality_joins(spark):
+    """Round-5 families stay off the quadratic paths: the as-of join
+    must compile to a WINDOW (no inequality join — Spark plans those
+    as per-key nested loops), the binned range join and neighbor
+    similarity to equality joins only."""
+    from jsonld_spark.operators import interval as IV
+    from jsonld_spark.operators.graph import iri_edges, neighbor_similarity
+
+    asof = IV.asof_event_profiles(spark, SF)
+    plan = physical_plan_of(asof)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan  # the running-last fill
+    # no join node at all: the as-of is pure union + window
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+    rng = IV.events_in_windows(spark, SF)
+    plan = physical_plan_of(rng)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    edges = iri_edges(kg_triples(spark, SF))
+    plan = physical_plan_of(neighbor_similarity(edges))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
