@@ -3008,6 +3008,214 @@ FROMRDF += [
 ]
 
 
+# --- L. reverse-term competition, @list-index elision, %1.15E rounding,
+# aliased value objects in data, dot-segment bases -------------------------
+
+EXPAND += [
+    (
+        "value object keeps @index alongside @language",
+        {"@id": EX + "a",
+         EX + "p": {"@value": "x", "@language": "fr", "@index": "k"}},
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": "x", "@language": "fr", "@index": "k"}]}],
+    ),
+    (
+        "null inside @set leaves an empty array behind",
+        {"@context": {"p": {"@id": EX + "p", "@container": "@set"}},
+         "@id": EX + "a", "p": {"@set": [None]}, EX + "q": "keep"},
+        [{"@id": EX + "a", EX + "p": [],
+          EX + "q": [{"@value": "keep"}]}],
+    ),
+    (
+        "aliased @value/@language build a value object from data",
+        {"@context": {"v": "@value", "l": "@language", "p": EX + "p"},
+         "@id": EX + "a", "p": {"v": "bonjour", "l": "fr"}},
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": "bonjour", "@language": "fr"}]}],
+    ),
+    (
+        "dot-segment relative @ids resolve per RFC 3986 merge",
+        # harness base = baseIri + input basename, so './x' strips the
+        # filename segment and '../y' also strips the tests/ segment
+        {"@context": {"p": {"@id": EX + "p", "@type": "@id"}},
+         "@id": "./x", "p": "../y"},
+        [{"@id": BASE + "x",
+          EX + "p": [{"@id": "https://w3c.example.org/y"}]}],
+    ),
+    (
+        "absolute-IRI @type values ignore @vocab",
+        {"@context": {"@vocab": EX + "v#"},
+         "@id": EX + "a", "@type": ["T", "http://other.example/U"]},
+        [{"@id": EX + "a",
+          "@type": [EX + "v#T", "http://other.example/U"]}],
+    ),
+]
+
+COMPACT += [
+    (
+        "compactArrays=false keeps a single @type as an array",
+        # the @type fold is guarded by compactArrays
+        # (Processor.php:977-979)
+        [{"@id": EX + "a", "@type": [EX + "T"]}],
+        {"ex": EX},
+        {"@context": {"ex": EX},
+         "@graph": [{"@id": "ex:a", "@type": ["ex:T"]}]},
+        {"compactArrays": False},
+    ),
+    (
+        "reverse-term competition: the @set-container term wins node refs",
+        # a node-reference profile queries containers (@set, @set,
+        # @null): the @set-container reverse term sits in the ['@set']
+        # bucket and is found before the container-less one
+        [{"@id": EX + "p1",
+          "@reverse": {EX + "parent": [{"@id": EX + "c1"}]}}],
+        {"rset": {"@reverse": EX + "parent", "@container": "@set",
+                  "@type": "@id"},
+         "rplain": {"@reverse": EX + "parent", "@type": "@id"}},
+        {"@context": {"rset": {"@reverse": EX + "parent",
+                               "@container": "@set", "@type": "@id"},
+                      "rplain": {"@reverse": EX + "parent",
+                                 "@type": "@id"}},
+         "@id": EX + "p1", "rset": [EX + "c1"]},
+        {},
+    ),
+    (
+        "@index-bearing values pick the index map over the language map",
+        # @index on the value forces profile container '@index'
+        # (getValueProfile, Processor.php:1353-1355)
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": "x", "@language": "en", "@index": "k"},
+                     {"@value": "y", "@language": "en"}]}],
+        {"ix": {"@id": EX + "p", "@container": "@index"},
+         "lm": {"@id": EX + "p", "@container": "@language"}},
+        {"@context": {"ix": {"@id": EX + "p", "@container": "@index"},
+                      "lm": {"@id": EX + "p", "@container": "@language"}},
+         "@id": EX + "a",
+         "ix": {"k": {"@language": "en", "@value": "x"}},
+         "lm": {"en": "y"}},
+        {},
+    ),
+    (
+        "@index on a list object deselects the @list-container term",
+        # getValueProfile REPLACES an @list object's profile with its
+        # first item's and only restores the '@list' container when
+        # the object carries no @index (Processor.php:1386-1396) — so
+        # an indexed list never matches the ['@list'] bucket, the key
+        # stays the absolute IRI, and the value keeps @list + @index
+        # (a DRAFT golden for this case assumed the term would match
+        # and drop the index; the kernel disagreed and the PHP trace
+        # sided with the kernel)
+        [{"@id": EX + "a",
+          EX + "p": [{"@list": [{"@value": "x"}], "@index": "k"}]}],
+        {"lst": {"@id": EX + "p", "@container": "@list"}},
+        {"@context": {"lst": {"@id": EX + "p", "@container": "@list"}},
+         "@id": EX + "a",
+         EX + "p": {"@index": "k", "@list": ["x"]}},
+        {},
+    ),
+    (
+        "embedded node objects compact recursively",
+        [{"@id": EX + "a",
+          EX + "knows": [{"@id": EX + "b",
+                          EX + "knows": [{"@id": EX + "c",
+                                          EX + "name": [{"@value": "C"}]}]}]}],
+        {"ex": EX, "knows": EX + "knows", "name": EX + "name"},
+        {"@context": {"ex": EX, "knows": EX + "knows", "name": EX + "name"},
+         "@id": "ex:a",
+         "knows": {"@id": "ex:b",
+                   "knows": {"@id": "ex:c", "name": "C"}}},
+        {},
+    ),
+    (
+        "booleans select the untyped term, not the language-tagged one",
+        [{"@id": EX + "a", EX + "p": [{"@value": True}]}],
+        {"de": {"@id": EX + "p", "@language": "de"}, "pl": EX + "p"},
+        {"@context": {"de": {"@id": EX + "p", "@language": "de"},
+                      "pl": EX + "p"},
+         "@id": EX + "a", "pl": True},
+        {},
+    ),
+]
+
+FLATTEN += [
+    (
+        "@reverse onto a blank node relabels the forward edge",
+        {"@graph": [
+            {"@id": "_:child",
+             "@reverse": {EX + "parent": [{"@id": EX + "p1"}]}},
+            {"@id": EX + "p1", EX + "name": "P"},
+        ]},
+        [{"@id": EX + "p1",
+          EX + "name": [{"@value": "P"}],
+          EX + "parent": [{"@id": "_:b0"}]}],
+    ),
+    (
+        "two embedding levels split into three sibling nodes",
+        {"@id": EX + "a",
+         EX + "p": {"@id": EX + "b",
+                    EX + "q": {"@id": EX + "c", EX + "r": "v"}}},
+        [{"@id": EX + "a", EX + "p": [{"@id": EX + "b"}]},
+         {"@id": EX + "b", EX + "q": [{"@id": EX + "c"}]},
+         {"@id": EX + "c", EX + "r": [{"@value": "v"}]}],
+    ),
+    (
+        "@list values keep IRI references intact through the node map",
+        {"@graph": [
+            {"@id": EX + "a",
+             EX + "p": {"@list": [{"@id": EX + "x"}, {"@id": EX + "y"}]}},
+            {"@id": EX + "x", EX + "q": "vx"},
+        ]},
+        [{"@id": EX + "a",
+          EX + "p": [{"@list": [{"@id": EX + "x"}, {"@id": EX + "y"}]}]},
+         {"@id": EX + "x", EX + "q": [{"@value": "vx"}]}],
+    ),
+]
+
+TORDF += [
+    (
+        "seventeen-digit doubles round at the %1.15E boundary",
+        # 0.30000000000000004 needs 17 significant digits; %1.15E
+        # prints 16 and rounds, and trailing-zero compression yields
+        # plain 3.0E-1 (Value.php:69-112)
+        {"@id": EX + "a", EX + "p": 0.30000000000000004},
+        [f'<{EX}a> <{EX}p> "3.0E-1"^^<{XSD}double> .'],
+        {},
+    ),
+    (
+        "generalized-RDF blank predicates inside a named graph",
+        {"@id": EX + "g",
+         "@graph": [{"@id": EX + "a", "_:p": "v"}]},
+        [f'<{EX}a> _:b0 "v" <{EX}g> .'],
+        {"produceGeneralizedRdf": True},
+    ),
+    (
+        "empty-string literals serialize as empty quotes",
+        {"@id": EX + "a", EX + "p": ""},
+        [f'<{EX}a> <{EX}p> "" .'],
+        {},
+    ),
+]
+
+FROMRDF += [
+    (
+        "escaped newline and quote round-trip through the parser",
+        [f'<{EX}a> <{EX}p> "line1\\nline\\"2" .'],
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": 'line1\nline"2'}]}],
+        {},
+    ),
+    (
+        "xsd:boolean literals convert with useNativeTypes",
+        [f'<{EX}a> <{EX}p> "true"^^<{XSD}boolean> .',
+         f'<{EX}a> <{EX}q> "false"^^<{XSD}boolean> .'],
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": True}],
+          EX + "q": [{"@value": False}]}],
+        {"useNativeTypes": True},
+    ),
+]
+
+
 def _write(path: str, text: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w", encoding="utf-8") as fh:
