@@ -563,10 +563,18 @@ def neighbor_similarity(
     pairs with ``n_common >= min_common``, node_a < node_b.
     """
     und = scratch.track(
-        edges.select(
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-        ).distinct()
+        )
+        .distinct()
     )
+    # self-loops are dropped above: a (x, x) row would survive the
+    # least/greatest distinct, then the two-direction union would emit
+    # it TWICE — double-counting x's degree, making x its own neighbor,
+    # and double-counting every wedge through x (review finding; the
+    # driver's iri_edges already excludes them, but the operator must
+    # hold on arbitrary edge tables)
     adj = und.select(F.col("u").alias("n"), F.col("v").alias("nb")).unionAll(
         und.select(F.col("v").alias("n"), F.col("u").alias("nb"))
     )

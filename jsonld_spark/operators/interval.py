@@ -54,14 +54,21 @@ def as_of_join(
     value (constant), so a hot key costs a sort, never a join blowup.
     """
     lcols = left.columns
-    tag_sort = F.col("_is_left")
+    # the right-side payload rides as ONE struct so the running fill
+    # picks a whole matched row atomically — per-column fills would
+    # tear rows when a value column is NULL in some right rows (a NULL
+    # member would fall through to an OLDER row's value, fabricating a
+    # row that never existed; the ASOF oracle returns matched rows
+    # as-is, NULLs included)
+    r_payload = F.struct(*[F.col(c) for c in value_cols])
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*lcols).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in value_cols],
+        F.lit(None).cast(
+            right.select(r_payload.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
     )
     r_tagged = right.select(
         F.col(key).alias("_k"),
@@ -70,28 +77,25 @@ def as_of_join(
         F.lit(None).cast(
             l_tagged.schema["_l"].dataType
         ).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        r_payload.alias("_r"),
     )
     # right rows sort BEFORE left rows at equal timestamps (_is_left
     # ascending), so a right row at exactly left_ts is visible to the
     # running last() — the <= contract
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts"), tag_sort)
+        .orderBy(F.col("_ts"), F.col("_is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = l_tagged.unionByName(r_tagged)
     filled = unioned.select(
         "_is_left",
         "_l",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in value_cols
-        ],
+        F.last(F.col("_r"), ignorenulls=True).over(w).alias("_f"),
     )
     return filled.where(F.col("_is_left") == 1).select(
         *[F.col("_l")[c].alias(c) for c in lcols],
-        *[F.col(f"_f_{c}").alias(c) for c in value_cols],
+        *[F.col("_f")[c].alias(c) for c in value_cols],
     )
 
 
@@ -176,13 +180,25 @@ def profile_versions(spark, sf_dir: str) -> DataFrame:
 
     ev = _user_event_seq(read_table(spark, sf_dir, "events"))
     picked = ev.where(F.col("_seq") % PROFILE_EVERY == 0)
-    return picked.select(
+    prof = picked.select(
         "user_id",
         "ts",
         # integer `div`, matching the oracle's `//` (the r4 ADVICE
         # float-division lesson)
         F.expr(f"_seq div {PROFILE_EVERY}").alias("version"),
         F.col("value").alias("profile_value"),
+    )
+    # as_of_join's contract pushes (key, ts)-dedup onto callers: two
+    # picked events of one user at an identical timestamp would leave
+    # both the window fill AND the ASOF oracle free to pick either
+    # row, making the driver gate nondeterministic. Keep the highest
+    # version per (user_id, ts) — tie-free today (verified at every
+    # sf), but guaranteed by construction, not by data luck
+    wt = Window.partitionBy("user_id", "ts").orderBy(F.desc("version"))
+    return (
+        prof.withColumn("_rn", F.row_number().over(wt))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 
@@ -210,10 +226,16 @@ WITH seq AS (
   SELECT user_id, ts, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
   FROM events),
-prof AS (
+prof0 AS (
   SELECT user_id, ts, CAST(seq // {PROFILE_EVERY} AS BIGINT) AS version,
          value AS profile_value
-  FROM seq WHERE seq % {PROFILE_EVERY} = 0)
+  FROM seq WHERE seq % {PROFILE_EVERY} = 0),
+prof AS (
+  SELECT user_id, ts, version, profile_value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY version DESC) AS rn
+    FROM prof0)
+  WHERE rn = 1)
 SELECT e.event_id, e.user_id, e.ts, p.version, p.profile_value
 FROM events e
 ASOF LEFT JOIN prof p ON e.user_id = p.user_id AND e.ts >= p.ts"""

@@ -60,9 +60,16 @@ def kmv_distinct(
 
     Output: (group, exact_distinct, kmv_estimate, sketch_size).
     """
-    hashed = values.select(
-        F.col(group).alias("grp"), _hv_expr(F.col(col)).alias("hv")
-    ).distinct()
+    from jsonld_spark.operators import scratch
+
+    # consumed by BOTH the k-prefix window and the exact count —
+    # uncached, the upstream explode + (grp, hv) distinct shuffle
+    # would run once per consumer (scratch-tracked; caller releases)
+    hashed = scratch.track(
+        values.select(
+            F.col(group).alias("grp"), _hv_expr(F.col(col)).alias("hv")
+        ).distinct()
+    )
     w = Window.partitionBy("grp").orderBy("hv")
     kth = (
         hashed.withColumn("rn", F.row_number().over(w))

@@ -277,7 +277,8 @@ def kg_neighbor_similarity_sql(max_deg: int, min_common: int) -> str:
         _graph_edges_ctes()
         + f""",
 und AS MATERIALIZED (
-  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges),
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM edges WHERE src <> dst),
 adj AS MATERIALIZED (
   SELECT u AS n, v AS nb FROM und UNION ALL SELECT v, u FROM und),
 nbdeg AS (SELECT nb, COUNT(*) AS d FROM adj GROUP BY nb),

@@ -197,3 +197,41 @@ def test_kmv_hash_matches_sql_digit_arithmetic(spark):
             f"SELECT {_hv_sql('?')}".replace("md5(?)", "md5($1)"), [v]
         ).fetchone()[0]
         assert got[v] == want, v
+
+
+def test_as_of_join_null_value_columns_stay_atomic(spark):
+    """A NULL in one right-side value column must NOT tear the matched
+    row (per-column fills would fall through to an older row's value;
+    review finding): the whole matched row rides as one struct."""
+    from jsonld_spark.operators.interval import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "k", BASE + timedelta(seconds=30))],
+        "event_id long, key string, ts timestamp")
+    right = spark.createDataFrame(
+        [("k", BASE + timedelta(seconds=10), 1, "a"),
+         ("k", BASE + timedelta(seconds=20), 2, None)],
+        "key string, ts timestamp, version long, val string")
+    rows = as_of_join(
+        left, right, key="key", left_ts="ts", right_ts="ts",
+        value_cols=["version", "val"],
+    ).collect()
+    assert len(rows) == 1
+    # the matched row is (version=2, val=NULL) — never (2, 'a')
+    assert rows[0]["version"] == 2 and rows[0]["val"] is None
+
+
+def test_neighbor_similarity_ignores_self_loops(spark):
+    """Self-loop edges must not double degrees or create self-neighbor
+    wedges (review finding): with a self-loop on the shared neighbor,
+    jaccard stays what the loop-free graph gives."""
+    from jsonld_spark.operators.graph import neighbor_similarity
+
+    rows = [("a", "b"), ("c", "b"), ("b", "b"), ("a", "a")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    out = neighbor_similarity(edges, max_deg=5, min_common=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["node_a"], r["node_b"]) == ("a", "c")
+    # fadj(a) = {b}, fadj(c) = {b} -> jaccard 1/(1+1-1) = 1.0
+    assert r["n_common"] == 1 and r["jaccard"] == 1.0
