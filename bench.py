@@ -248,6 +248,8 @@ def main() -> None:
             "khop": lambda: graph.khop_distances(edges, seeds).count(),
             "neighbor_sample": lambda: graph.neighbor_sample(edges, 8).count(),
             "ego_subgraph": lambda: graph.ego_subgraph(edges, seeds, 2).count(),
+            # r5: ER-blocking similarity over hub-filtered neighbor sets
+            "neighbor_similarity": lambda: graph.neighbor_similarity(edges).count(),
         }
         from jsonld_spark.operators import scratch
 

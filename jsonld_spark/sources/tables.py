@@ -143,3 +143,30 @@ def F_bucket(n, col):
     from pyspark.sql.functions import bucket
 
     return bucket(n, col)
+
+
+def write_bucketed(
+    df: DataFrame, name: str, path: str, bucket_col: str = "subject",
+    buckets: int = 8,
+) -> None:
+    """Materialize ``df`` as a BUCKETED (and bucket-sorted) parquet
+    table: rows are hash-partitioned into ``buckets`` files by
+    ``bucket_col`` at WRITE time, and the catalog records the layout —
+    so every later equi-join or aggregation on ``bucket_col`` between
+    co-bucketed tables runs WITHOUT a shuffle (the Exchange disappears
+    from the plan; plan-gated in tests/test_plans.py). This is the
+    co-located-join strategy a 100-TB triple store wants for its
+    subject-keyed triple/adjacency tables: pay one partitioning at
+    ingest, reuse it across every downstream join.
+
+    Uses ``option(path)`` so data lands under the caller's directory;
+    the table name lives in the session catalog (in-memory here; a
+    Hive/Iceberg catalog in production)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(name)
+    )

@@ -246,3 +246,38 @@ def test_interval_and_similarity_plans_are_equality_joins(spark):
     plan = physical_plan_of(neighbor_similarity(edges))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Co-bucketed triple/adjacency tables must equi-join on the
+    bucket column with NO Exchange in the plan — the pay-once
+    partitioning a subject-keyed 100-TB store relies on. The same
+    join over plain parquet shuffles both sides (asserted as the
+    control, so the test can't pass vacuously)."""
+    from jsonld_spark.sources.tables import write_bucketed
+
+    tri = kg_triples(spark, SF)
+    left = tri.select("subject", "predicate", "obj_value")
+    right = tri.groupBy("subject").count()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(left, "t_bkt_l", str(tmp_path / "l"))
+        write_bucketed(right, "t_bkt_r", str(tmp_path / "r"))
+        joined = spark.table("t_bkt_l").join(spark.table("t_bkt_r"), "subject")
+        plan = physical_plan_of(joined)
+        assert "Exchange" not in plan, plan
+
+        left.write.parquet(str(tmp_path / "pl"))
+        right.write.parquet(str(tmp_path / "pr"))
+        plain = spark.read.parquet(str(tmp_path / "pl")).join(
+            spark.read.parquet(str(tmp_path / "pr")), "subject"
+        )
+        assert "Exchange" in physical_plan_of(plain)
+        # and the bucketed join returns the same rows
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_l")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_r")

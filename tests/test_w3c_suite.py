@@ -89,7 +89,7 @@ def test_expand_cases_roundtrip_through_compact():
 
 def test_w3c_cases_replay_on_executors(spark):
     """The conformance suite replayed through the DISTRIBUTED runtime:
-    every positive expand and toRdf case runs inside a mapInPandas
+    every positive case of every group runs inside a mapInPandas
     stage (kernel shipped to executors via ensure_package_shipped) and
     must produce the same goldens the in-process harness checks — the
     bridge between tier-1 kernel conformance and the Spark operators
@@ -107,16 +107,17 @@ def test_w3c_cases_replay_on_executors(spark):
             return fh.read()
 
     rows = []
-    for kind in ("expand", "toRdf", "fromRdf"):
+    for kind in ("expand", "toRdf", "fromRdf", "compact", "flatten"):
         for e in iter_manifest(kind):
             if "expectErrorCode" in e:
                 continue
             opt = e.get("option", {}) or {}
+            ctx = _read(e["context"]) if "context" in e else ""
             rows.append((kind, e["name"], _read(e["input"]), e["base"],
-                         _read(e["expect"]), json.dumps(opt)))
+                         _read(e["expect"]), json.dumps(opt), ctx))
     sdf = spark.createDataFrame(
         rows, "kind string, name string, doc string, base string, "
-              "expected string, opts string")
+              "expected string, opts string, ctx string")
 
     def run(batches):
         import pandas as pd
@@ -126,12 +127,22 @@ def test_w3c_cases_replay_on_executors(spark):
 
         for pdf in batches:
             out = []
-            for kind, name, doc, base, expected, opts_s in zip(
+            for kind, name, doc, base, expected, opts_s, ctx in zip(
                     pdf["kind"], pdf["name"], pdf["doc"], pdf["base"],
-                    pdf["expected"], pdf["opts"]):
+                    pdf["expected"], pdf["opts"], pdf["ctx"]):
                 opts = json.loads(opts_s)
                 if kind == "expand":
                     actual = json.dumps(api.expand(doc, base=base), sort_keys=True)
+                    want = json.dumps(json.loads(expected), sort_keys=True)
+                elif kind == "compact":
+                    got = api.compact(
+                        doc, context=ctx, base=base,
+                        compact_arrays=bool(opts.get("compactArrays", True)))
+                    actual = json.dumps(got, sort_keys=True)
+                    want = json.dumps(json.loads(expected), sort_keys=True)
+                elif kind == "flatten":
+                    actual = json.dumps(api.flatten(doc, base=base),
+                                        sort_keys=True)
                     want = json.dumps(json.loads(expected), sort_keys=True)
                 elif kind == "fromRdf":
                     got = api.from_rdf(
@@ -157,6 +168,8 @@ def test_w3c_cases_replay_on_executors(spark):
     bad = [(r["kind"], r["name"]) for r in res if not r["ok"]]
     assert not bad, bad
     assert len(res) == len(rows) >= 60
+    assert {r["kind"] for r in res} == {
+        "expand", "toRdf", "fromRdf", "compact", "flatten"}
 
 
 def test_tordf_pr_gate():
