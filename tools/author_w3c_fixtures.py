@@ -3216,6 +3216,121 @@ FROMRDF += [
 ]
 
 
+# --- M. language-tag case in term defs, index-map edge shapes, @type
+# merging, value-@index erasure in RDF --------------------------------------
+
+EXPAND += [
+    (
+        "term @language case is preserved verbatim (bug-compat)",
+        # the reference's ONLY strtolower is on language-MAP keys
+        # (Processor.php:427); a term definition's @language tags
+        # values verbatim
+        {"@context": {"p": {"@id": EX + "p", "@language": "DE"}},
+         "@id": EX + "a", "p": "wert"},
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": "wert", "@language": "DE"}]}],
+    ),
+    (
+        "default @language case is preserved verbatim (bug-compat)",
+        {"@context": {"@language": "EN", "p": EX + "p"},
+         "@id": EX + "a", "p": "word"},
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": "word", "@language": "EN"}]}],
+    ),
+]
+
+COMPACT += [
+    (
+        "@index-bearing values bypass a language-map-only term",
+        # profile container '@index' never matches the ['@language']
+        # bucket; with no other term the key falls back to the
+        # absolute IRI and the value keeps @index
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": "x", "@language": "en", "@index": "k"}]}],
+        {"lm": {"@id": EX + "p", "@container": "@language"}},
+        {"@context": {"lm": {"@id": EX + "p", "@container": "@language"}},
+         "@id": EX + "a",
+         EX + "p": {"@index": "k", "@language": "en", "@value": "x"}},
+        {},
+    ),
+    (
+        "node objects with properties keep their shape inside an index map",
+        # compactValue consumes the @index as the map key
+        # (Processor.php:1148-1150); the remaining node object (>1
+        # members) compacts recursively
+        [{"@id": EX + "a",
+          EX + "p": [{"@id": EX + "b", "@index": "k",
+                      EX + "q": [{"@value": "v"}]}]}],
+        {"ix": {"@id": EX + "p", "@container": "@index"}, "q": EX + "q"},
+        {"@context": {"ix": {"@id": EX + "p", "@container": "@index"},
+                      "q": EX + "q"},
+         "@id": EX + "a",
+         "ix": {"k": {"@id": EX + "b", "q": "v"}}},
+        {},
+    ),
+    (
+        "typed values pick the exact-@type term over the untyped term",
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": "v", "@type": EX + "T"}, {"@value": "w"}]}],
+        {"tt": {"@id": EX + "p", "@type": EX + "T"}, "pl": EX + "p"},
+        {"@context": {"tt": {"@id": EX + "p", "@type": EX + "T"},
+                      "pl": EX + "p"},
+         "@id": EX + "a", "tt": "v", "pl": "w"},
+        {},
+    ),
+]
+
+FLATTEN += [
+    (
+        "@type arrays union with first-seen dedup across split nodes",
+        {"@graph": [
+            {"@id": EX + "a", "@type": [EX + "T1", EX + "T2"]},
+            {"@id": EX + "a", "@type": [EX + "T2", EX + "T3"]},
+        ]},
+        [{"@id": EX + "a",
+          "@type": [EX + "T1", EX + "T2", EX + "T3"]}],
+    ),
+    (
+        "equal lexical values with different @index stay distinct",
+        # node-map dedup compares WHOLE value objects; a differing
+        # @index makes them different values, both kept in order
+        {"@id": EX + "a",
+         EX + "p": [{"@value": "x", "@index": "k1"},
+                    {"@value": "x", "@index": "k2"}]},
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": "x", "@index": "k1"},
+                     {"@value": "x", "@index": "k2"}]}],
+    ),
+]
+
+TORDF += [
+    (
+        "value-level @index is erased in RDF, the literal survives",
+        {"@id": EX + "a", EX + "p": {"@value": "v", "@index": "k"}},
+        [f'<{EX}a> <{EX}p> "v" .'],
+        {},
+    ),
+    (
+        "negative non-integral doubles keep the sign in canonical form",
+        {"@id": EX + "a", EX + "p": -0.5},
+        [f'<{EX}a> <{EX}p> "-5.0E-1"^^<{XSD}double> .'],
+        {},
+    ),
+]
+
+FROMRDF += [
+    (
+        "IRI-valued list items reconstruct as references",
+        [f'<{EX}a> <{EX}p> _:c .',
+         f'_:c <{RDF}first> <{EX}x> .',
+         f'_:c <{RDF}rest> <{RDF}nil> .'],
+        [{"@id": EX + "a",
+          EX + "p": [{"@list": [{"@id": EX + "x"}]}]}],
+        {},
+    ),
+]
+
+
 def _write(path: str, text: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w", encoding="utf-8") as fh:
