@@ -198,9 +198,40 @@ def expanded_to_quads(expanded, generalized_rdf: bool = False) -> list[Quad]:
 
 # ---------------------------------------------------------------------------
 # fromRdf support: native-type round trip (reference: TypedValue.php:92-118)
+#
+# Mirrored bug-compat, quirks included (audited round 5):
+# * PHP's sign class ``[\+|-]`` ALSO matches a literal '|', so "|5"
+#   passes the integer regex — and ``intval("|5")`` is 0, so the
+#   native value becomes 0 (TypedValue.php:105 + 106).
+# * The regex runs on ``trim($value)`` but the CONVERSION runs on the
+#   raw value (" 5 " -> 5 natively; intval skips leading whitespace).
+# * The double regex requires a leading digit — ".5" stays a typed
+#   string (no ``\.\d+`` alternative in TypedValue.php:112).
+# * ``intval`` SATURATES at the 64-bit bounds on overflow
+#   ("99999999999999999999" -> 9223372036854775807), unlike Python's
+#   arbitrary-precision int.
 
-_INTEGER_RE = re.compile(r"^[+-]?\d+$")
-_DOUBLE_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+_PHP_SIGN = r"[+|-]"  # PHP [\+|-]: the '|' is IN the class, not alternation
+_INTEGER_RE = re.compile(rf"^{_PHP_SIGN}?\d+$")
+_DOUBLE_RE = re.compile(rf"^{_PHP_SIGN}?\d+(\.\d*)?([eE]{_PHP_SIGN}?\d+)?$")
+_INT64_MAX = 2**63 - 1
+_INT64_MIN = -(2**63)
+
+
+def _php_intval(value: str) -> int:
+    """PHP ``intval`` on a string: leading whitespace skipped, optional
+    sign + digit prefix parsed, anything else -> 0; 64-bit saturation."""
+    m = re.match(r"\s*[+-]?\d+", value)
+    if not m:
+        return 0
+    return max(_INT64_MIN, min(_INT64_MAX, int(m.group())))
+
+
+def _php_floatval(value: str) -> float:
+    """PHP ``floatval`` (strtod prefix parse): the longest leading
+    numeric prefix, else 0.0."""
+    m = re.match(r"\s*[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?", value)
+    return float(m.group()) if m else 0.0
 
 
 def literal_to_jsonld(obj_value: str, obj_type: str | None, obj_lang: str | None,
@@ -211,10 +242,10 @@ def literal_to_jsonld(obj_value: str, obj_type: str | None, obj_lang: str | None
         return {"@value": obj_value, "@language": obj_lang}
     vtype = obj_type if obj_type is not None else XSD_STRING
     if use_native_types:
-        if vtype == XSD_INTEGER and _INTEGER_RE.match(obj_value):
-            return {"@value": int(obj_value)}
-        if vtype == XSD_DOUBLE and _DOUBLE_RE.match(obj_value):
-            return {"@value": float(obj_value)}
+        if vtype == XSD_INTEGER and _INTEGER_RE.match(obj_value.strip()):
+            return {"@value": _php_intval(obj_value)}
+        if vtype == XSD_DOUBLE and _DOUBLE_RE.match(obj_value.strip()):
+            return {"@value": _php_floatval(obj_value)}
         if vtype == XSD_BOOLEAN and obj_value in ("true", "false"):
             return {"@value": obj_value == "true"}
     if vtype == XSD_STRING:

@@ -28,7 +28,7 @@ oracle scale, wrong at 100 TB; the binning is the scale path).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 

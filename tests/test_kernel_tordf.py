@@ -255,3 +255,28 @@ def test_nquads_bnode_label_grammar():
 def test_to_rdf_string_output():
     doc = {"@id": "http://ex.org/s", "http://ex.org/p": "v"}
     assert to_rdf(doc) == '<http://ex.org/s> <http://ex.org/p> "v" .\n'
+
+
+def test_native_conversion_mirrors_php_quirks():
+    """TypedValue.php:105/112 bug-compat (round 5): the sign class
+    [\\+|-] matches '|' (intval -> 0), regex on the trimmed lexical
+    but conversion on the raw, no leading-dot doubles, and 64-bit
+    intval saturation."""
+    from jsonld_spark.kernel.rdf import (
+        XSD_DOUBLE,
+        XSD_INTEGER,
+        literal_to_jsonld,
+    )
+
+    conv = lambda v, t: literal_to_jsonld(v, t, None, use_native_types=True)
+    assert conv("|5", XSD_INTEGER) == {"@value": 0}
+    assert conv(" 5 ", XSD_INTEGER) == {"@value": 5}
+    assert conv("-7", XSD_INTEGER) == {"@value": -7}
+    assert conv("99999999999999999999", XSD_INTEGER) == {
+        "@value": 9223372036854775807}
+    assert conv("-99999999999999999999", XSD_INTEGER) == {
+        "@value": -9223372036854775808}
+    assert conv(".5", XSD_DOUBLE) == {"@value": ".5", "@type": XSD_DOUBLE}
+    assert conv("5.", XSD_DOUBLE) == {"@value": 5.0}
+    assert conv("|5e2", XSD_DOUBLE) == {"@value": 0.0}
+    assert conv("4a", XSD_INTEGER) == {"@value": "4a", "@type": XSD_INTEGER}

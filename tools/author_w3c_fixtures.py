@@ -3320,6 +3320,25 @@ TORDF += [
 
 FROMRDF += [
     (
+        "PHP native-conversion quirks: pipe signs, trims, saturation",
+        # TypedValue.php:105/112 quirks, all bug-compat (see
+        # kernel/rdf.py): the regex sign class [\+|-] matches '|' so
+        # "|5" passes and intval("|5") = 0; the regex runs on the
+        # TRIMMED lexical but intval on the raw (" 5 " -> 5); ".5"
+        # fails the double regex (leading digit required) and stays a
+        # typed string; out-of-int64 integers saturate at PHP_INT_MAX
+        [f'<{EX}a> <{EX}pipe> "|5"^^<{XSD}integer> .',
+         f'<{EX}a> <{EX}pad> " 5 "^^<{XSD}integer> .',
+         f'<{EX}a> <{EX}dot> ".5"^^<{XSD}double> .',
+         f'<{EX}a> <{EX}big> "99999999999999999999"^^<{XSD}integer> .'],
+        [{"@id": EX + "a",
+          EX + "big": [{"@value": 9223372036854775807}],
+          EX + "dot": [{"@value": ".5", "@type": XSD + "double"}],
+          EX + "pad": [{"@value": 5}],
+          EX + "pipe": [{"@value": 0}]}],
+        {"useNativeTypes": True},
+    ),
+    (
         "IRI-valued list items reconstruct as references",
         [f'<{EX}a> <{EX}p> _:c .',
          f'_:c <{RDF}first> <{EX}x> .',
