@@ -393,6 +393,13 @@ def process_context(
                     JsonLdError.RECURSIVE_CONTEXT_INCLUSION,
                     "Recursive inclusion of remote context: " + remote_url,
                 )
+            # the chain grows for the REST OF THIS INVOCATION too, not
+            # just the nested call: PHP appends to $remotectxs inside
+            # the foreach (Processor.php:1747), so repeating one URL at
+            # SIBLING level in the same context array trips the
+            # recursion check — bug-compat (appends inside the nested
+            # call do NOT propagate back; PHP passes by value)
+            remote_contexts = remote_contexts + (remote_url,)
             if loader is None:
                 raise JsonLdError(
                     JsonLdError.LOADING_REMOTE_CONTEXT_FAILED,
@@ -413,7 +420,7 @@ def process_context(
                     remote_doc["@context"],
                     activectx,
                     base_iri,
-                    remote_contexts + (remote_url,),
+                    remote_contexts,
                     loader,
                 )
             else:

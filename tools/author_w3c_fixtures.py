@@ -721,6 +721,60 @@ REMOTE = [
         "invalid remote context",  # Processor.php:1766
     ),
     (
+        "relative remote context URLs resolve against the document base",
+        # Processor.php:1739: the relative URL resolves through the
+        # ACTIVE @base (the document base at this point)
+        {"@context": "relctx.jsonld", "@id": EX + "a", "name": "x"},
+        {BASE + "relctx.jsonld": {"@context": {"name": EX + "name"}}},
+        [{"@id": EX + "a", EX + "name": [{"@value": "x"}]}],
+        None,
+    ),
+    (
+        "nested relative refs resolve against the ORIGINAL base (ISSUE-24)",
+        # bug-compat: the reference never switches the base to the
+        # remote context's own URL — the TODO at Processor.php:1761
+        # ("Use the context's IRI as base IRI ... ISSUE-24") is
+        # unimplemented, so a relative ref INSIDE a remote context at
+        # https://ctx.example.org/dir/outer.jsonld still resolves
+        # against the document base, not the dir/ URL
+        {"@context": CTX + "dir/outer.jsonld", "@id": EX + "a", "p": "v"},
+        {CTX + "dir/outer.jsonld": {"@context": "inner-i24.jsonld"},
+         BASE + "inner-i24.jsonld": {"@context": {"p": EX + "p"}}},
+        [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}],
+        None,
+    ),
+    (
+        "repeating one remote context at SIBLING level counts as recursion",
+        # bug-compat: $remotectxs accumulates across the foreach over
+        # one context array (Processor.php:1741-1747), so the second
+        # occurrence of the same URL in ["u", "u"] trips the
+        # recursive-inclusion check even though nothing recursed
+        {"@context": [CTX + "twice.jsonld", CTX + "twice.jsonld"],
+         "@id": EX + "a"},
+        {CTX + "twice.jsonld": {"@context": {"p": EX + "p"}}},
+        None,
+        "recursive context inclusion",
+    ),
+    (
+        "relative remote context with a null base fails",
+        # Processor.php:1733-1737: @base null + relative remote URL ->
+        # INVALID_BASE_IRI, not a loader error
+        {"@context": [{"@base": None}, "relctx2.jsonld"], "@id": EX + "a"},
+        {},
+        None,
+        "invalid base IRI",
+    ),
+    (
+        "a remote context may itself hold a context array",
+        {"@context": CTX + "arr.jsonld", "@id": EX + "a",
+         "p": "v", "q": "w"},
+        {CTX + "arr.jsonld": {"@context": [{"p": EX + "p"},
+                                           {"q": EX + "q"}]}},
+        [{"@id": EX + "a", EX + "p": [{"@value": "v"}],
+          EX + "q": [{"@value": "w"}]}],
+        None,
+    ),
+    (
         "@base inside a remote context is ignored",
         # Processor.php:1543-1545: "@base is ignored in a remote
         # context" — relative IRIs keep resolving against the DOCUMENT
