@@ -19,7 +19,7 @@ import copy
 from jsonld_spark.kernel.context import DEFAULT_GRAPH, FRAMING_KEYWORDS, MERGED_GRAPH
 from jsonld_spark.kernel.exceptions import JsonLdError
 from jsonld_spark.kernel.nodemap import BlankNodeIssuer, generate_node_map
-from jsonld_spark.kernel.util import php_ksort_keys, scalar_equals
+from jsonld_spark.kernel.util import php_ksort_keys, php_loose_equals, scalar_equals
 
 
 def frame_expanded(expanded: list, frame_list: list) -> list:
@@ -164,11 +164,16 @@ def _node_matches_frame(node, frame, options, node_map, graph, parent, path=()):
                     "array of arrays.",
                 )
             else:
-                # non-expanded IRIs for @id and @type
+                # non-expanded IRIs for @id and @type, plus the
+                # array-wrapped @value/@language/@index alternatives a
+                # frame-mode expansion produces (Processor.php:666-671,
+                # 689-693). PHP uses in_array's DEFAULT loose mode here
+                # (Processor.php:2736) so "5" matches 5 — mirrored via
+                # php_loose_equals, not Python ==
                 node_values = node[prop]
                 if not isinstance(node_values, list):
                     node_values = [node_values]
-                if valid_value in node_values:
+                if any(php_loose_equals(valid_value, nv) for nv in node_values):
                     match = True
                     result[prop] = node[prop]
 

@@ -30,6 +30,86 @@ def scalar_equals(a, b) -> bool:
     return a == b
 
 
+_PHP_NUMERIC_PREFIX = None  # compiled lazily (regex import kept local)
+
+
+def _php_number_prefix(s: str) -> float:
+    """PHP 5/7 string-to-number conversion used by loose ``==``:
+    leading whitespace allowed, then the longest numeric prefix
+    (sign, digits, decimal, exponent); no prefix means 0."""
+    global _PHP_NUMERIC_PREFIX
+    if _PHP_NUMERIC_PREFIX is None:
+        import re
+
+        _PHP_NUMERIC_PREFIX = re.compile(
+            r"[ \t\n\r\v\f]*([+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?)"
+        )
+    m = _PHP_NUMERIC_PREFIX.match(s)
+    return float(m.group(1)) if m else 0.0
+
+
+def _php_is_numeric(s: str) -> bool:
+    """PHP 5/7 is_numeric for strings: optional LEADING whitespace,
+    full numeric body, no trailing junk (trailing whitespace is junk
+    until PHP 8)."""
+    import re
+
+    return bool(
+        re.fullmatch(
+            r"[ \t\n\r\v\f]*[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?", s
+        )
+    )
+
+
+def _php_bool(v) -> bool:
+    """PHP boolean conversion: false for false, 0, 0.0, "", "0", null."""
+    if v is None or v is False:
+        return False
+    if isinstance(v, str):
+        return v not in ("", "0")
+    if isinstance(v, (int, float)):
+        return v != 0
+    return True
+
+
+def php_loose_equals(a, b) -> bool:
+    """PHP 5/7 loose (==) scalar comparison, as used by the frame
+    matcher's ``in_array($validValue, $nodeValues)``
+    (Processor.php:2736 — in_array's default mode is loose).
+
+    Comparison table mirrored (pre-PHP-8 semantics, the reference
+    requires php >= 5.3, composer.json:17):
+
+    * bool vs anything: both sides convert to bool
+    * null vs string: null becomes "" and strings compare by bytes
+    * null vs number/null: bool conversion (null == 0 is true)
+    * number vs string: the string converts via its numeric PREFIX
+      ("10abc" == 10 and "abc" == 0 are both true pre-PHP-8)
+    * string vs string: numeric compare when BOTH are numeric
+      ("1e3" == "1000"), byte compare otherwise
+    * non-scalars (objects/arrays) never equal a scalar
+    """
+    if isinstance(a, (dict, list)) or isinstance(b, (dict, list)):
+        return False
+    if a is None and b is None:
+        return True
+    if isinstance(a, bool) or isinstance(b, bool):
+        return _php_bool(a) == _php_bool(b)
+    if a is None:
+        return b == "" if isinstance(b, str) else not _php_bool(b)
+    if b is None:
+        return a == "" if isinstance(a, str) else not _php_bool(a)
+    if isinstance(a, str) and isinstance(b, str):
+        if _php_is_numeric(a) and _php_is_numeric(b):
+            return float(a) == float(b)
+        return a == b
+    if isinstance(a, str):
+        return _php_number_prefix(a) == float(b)
+    if isinstance(b, str):
+        return float(a) == _php_number_prefix(b)
+    return a == b
+
+
 def subtree_equals(a, b) -> bool:
     """Deep structural equality; unlabeled blank nodes never compare
     equal (they cannot be identified)."""

@@ -27,6 +27,23 @@ expanded documents distinguish ``{"@value": "x"}`` from ``{"@value":
 "x", "@type": xsd:string}`` (the kernel matcher treats the second as
 requiring an explicit @type member); RDF erases that distinction, so
 on the triple table both mean the xsd:string literal.
+
+A second documented deviation (discovered round 5): the kernel's
+frame-mode expansion wraps explicit ``@value``/``@language``/``@index``
+members into arrays (Processor.php:666-671, 689-693) whose items then
+match via in_array's LOOSE ``==`` (Processor.php:2736, pre-PHP-8:
+``"5" == 5``, ``"abc" == 0`` — mirrored by
+``kernel/util.php_loose_equals``). That coercion is defined over raw
+JSON scalars; the triple table holds post-toRdf CANONICAL literals
+where native types were already folded to one lexical form. The
+compiled @value-only STRING spec (lexical match over any datatype)
+happens to agree with the kernel's loose semantics for canonical
+spellings ("5" finds the int-5 nodes on both sides), but non-string
+specs compile to their one canonical literal — the loose numeric-
+prefix coercions (98.6 matching the custom-typed string "98.6") have
+no RDF-level counterpart and are intentionally not reproduced.
+``test_frame_query.py::test_loose_value_divergence_pinned`` pins both
+the agreement and the divergence.
 """
 
 from __future__ import annotations

@@ -583,3 +583,30 @@ def test_w3c_fixture_frames_match_kernel(spark):
             )
             checked += 1
     assert checked >= 100, checked
+
+
+def test_loose_value_divergence_pinned(triples):
+    """Documented deviation (frame_query.py module docstring): the
+    kernel's explicit {"@value": ...} specs match via PHP's loose
+    in_array ("5" matches 5, Processor.php:666-671 + 2736), while the
+    compiled plans keep canonical strict matching — the triple table
+    holds post-toRdf canonical literals, where native 5 is already
+    "5"^^xsd:integer and the raw-JSON loose coercions have no
+    counterpart."""
+    # where the two semantics AGREE: an @value-only string spec — the
+    # kernel matches int-5 nodes loosely ("5" == 5), the compiler
+    # matches the same nodes lexically ("5" is the canonical integer
+    # lexical form, matched over any datatype)
+    assert _kernel_match_ids({V + "n": {"@value": "5"}}) == {EX + "a", EX + "b"}
+    assert _subjects(frame_select(triples, {V + "n": {"@value": "5"}})) == {
+        EX + "a", EX + "b"}
+    # where they DIVERGE: a numeric spec vs a lexically-different but
+    # loosely-equal literal. Node d holds "98.6"^^v:fahrenheit; the
+    # kernel's loose in_array coerces the string through its numeric
+    # prefix (98.6 == "98.6"), while the compiled plan looks for the
+    # canonical double literal 9.86E1^^xsd:double — which no node has
+    assert _kernel_match_ids({V + "temp": {"@value": 98.6}}) == {EX + "d"}
+    assert _subjects(frame_select(triples, {V + "temp": {"@value": 98.6}})) == set()
+    # both sides agree again on the canonical strict spelling
+    assert _kernel_match_ids({V + "n": 5}) == {EX + "a", EX + "b"}
+    assert _subjects(frame_select(triples, {V + "n": 5})) == {EX + "a", EX + "b"}

@@ -96,3 +96,42 @@ def test_compact_reattaches_remote_style_context():
     out = compact({"@id": "http://e/1", "http://v/name": "x"}, ctx)
     assert out["@context"] == {"name": "http://v/name"}
     assert out["name"] == "x"
+
+
+def test_php_loose_equals_comparison_table():
+    """php_loose_equals mirrors pre-PHP-8 loose == (frame matcher's
+    in_array, Processor.php:2736; php>=5.3, composer.json:17)."""
+    from jsonld_spark.kernel.util import php_loose_equals as eq
+
+    # number vs string: prefix conversion ("abc" -> 0, "10abc" -> 10)
+    assert eq("5", 5) and eq(5, "5") and eq("1e3", 1000) and eq("10abc", 10)
+    assert eq("abc", 0) and eq(" 5", 5)
+    # string vs string: numeric only when BOTH numeric, else bytes
+    assert eq("1e3", "1000") and eq("05", "5.0") and not eq("abc", "abd")
+    assert not eq("5 ", "05")  # trailing whitespace: not numeric pre-PHP-8
+    # bool converts the other side
+    assert eq(True, 1) and eq(True, "abc") and not eq(True, "0")
+    assert eq(False, 0) and eq(False, "0") and eq(False, "")
+    # null: "" for strings, falsy otherwise, but NOT "0"
+    assert eq(None, None) and eq(None, 0) and eq(None, "") and eq(None, False)
+    assert not eq(None, "0") and not eq(None, "abc") and not eq(None, 5)
+    # non-scalars never equal scalars
+    assert not eq({"a": 1}, 1) and not eq([1], 1)
+
+
+def test_frame_explicit_value_matches_loosely():
+    """Explicit {"@value": ...} frames go through the array-wrapped
+    loose path; raw scalar frames stay strict (Processor.php:666-671
+    vs :2678)."""
+    import json
+
+    from jsonld_spark.kernel import api
+
+    doc = json.dumps({"@context": {"ex": "http://example.com/"},
+                      "@id": "ex:a", "ex:p": 5})
+    loose = json.dumps({"@context": {"ex": "http://example.com/"},
+                        "ex:p": {"@value": "5"}})
+    strict = json.dumps({"@context": {"ex": "http://example.com/"},
+                         "ex:p": "5"})
+    assert api.frame(doc, loose)["@graph"], "explicit @value must match loosely"
+    assert not api.frame(doc, strict)["@graph"], "raw scalar must stay strict"

@@ -107,12 +107,15 @@ def test_w3c_cases_replay_on_executors(spark):
             return fh.read()
 
     rows = []
-    for kind in ("expand", "toRdf", "fromRdf", "compact", "flatten"):
+    for kind in ("expand", "toRdf", "fromRdf", "compact", "flatten", "frame"):
         for e in iter_manifest(kind):
             if "expectErrorCode" in e:
                 continue
             opt = e.get("option", {}) or {}
-            ctx = _read(e["context"]) if "context" in e else ""
+            # the ctx column doubles as the frame document for frame
+            # cases (frame cases carry no context file and vice versa)
+            ctx = _read(e["context"]) if "context" in e else (
+                _read(e["frame"]) if "frame" in e else "")
             rows.append((kind, e["name"], _read(e["input"]), e["base"],
                          _read(e["expect"]), json.dumps(opt), ctx))
     sdf = spark.createDataFrame(
@@ -152,6 +155,10 @@ def test_w3c_cases_replay_on_executors(spark):
                     )
                     actual = json.dumps(got, sort_keys=True)
                     want = json.dumps(json.loads(expected), sort_keys=True)
+                elif kind == "frame":
+                    got = api.frame(doc, ctx, base=base)
+                    actual = json.dumps(got, sort_keys=True)
+                    want = json.dumps(json.loads(expected), sort_keys=True)
                 else:
                     # SET equality, same as the tier-1 harness (_nq_set;
                     # W3CTestSuiteTest.php:317-322) so the two gates can
@@ -169,7 +176,7 @@ def test_w3c_cases_replay_on_executors(spark):
     assert not bad, bad
     assert len(res) == len(rows) >= 60
     assert {r["kind"] for r in res} == {
-        "expand", "toRdf", "fromRdf", "compact", "flatten"}
+        "expand", "toRdf", "fromRdf", "compact", "flatten", "frame"}
 
 
 def test_tordf_pr_gate():

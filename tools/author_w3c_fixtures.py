@@ -3403,6 +3403,418 @@ FROMRDF += [
     ),
 ]
 
+# --------------------------------------------------------------------------
+# frame tests: (name, input, frame, expected) for positive cases,
+# (name, input, frame, None, errorCode) for negatives. Semantics mirror
+# the reference's OWN framing algorithm (Processor.php:2478-2811 —
+# deep value matching + aggressive re-embedding; the reference itself
+# skips 11 official framing tests over these deviations,
+# Test/W3CTestSuiteTest.php:258-276, so these fixtures pin the
+# reference behavior, not the official-suite behavior). Key quirks
+# pinned below:
+# * frame-mode expansion wraps explicit @value/@language/@index into
+#   ARRAYS (Processor.php:666-671, 689-693), which then match via
+#   in_array's LOOSE == (Processor.php:2736, pre-PHP-8 semantics:
+#   "5" == 5, "abc" == 0) — while raw scalar frame values become
+#   {"@value": <scalar>} and match via strict === (Processor.php:2678)
+# * @type: [] silently VANISHES in frame expansion ("don't keep empty
+#   arrays", Processor.php:650-653)
+# * a frame with an @graph property can never match: the named-graph
+#   existence probe checks an unprefixed node-map key that never
+#   exists (Processor.php:2602-2603, 2613-2639)
+# * every node-map node is tried top-level, and shared children
+#   re-embed fully under each parent (aggressive re-embedding)
+# --------------------------------------------------------------------------
+
+_FEX = {"ex": EX}
+
+FRAME = [
+    (
+        "empty frame embeds every node",
+        {"@context": _FEX, "@id": "ex:a",
+         "ex:p": {"@id": "ex:b", "ex:q": "vb"}},
+        {},
+        {"@graph": [
+            {"@id": EX + "a",
+             EX + "p": {"@id": EX + "b", EX + "q": "vb"}},
+            {"@id": EX + "b", EX + "q": "vb"}]},
+    ),
+    (
+        "@type match selects typed nodes",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:T", "ex:p": "va"},
+            {"@id": "ex:b", "@type": "ex:U", "ex:p": "vb"}]},
+        {"@context": _FEX, "@type": "ex:T"},
+        {"@context": _FEX,
+         "@graph": [{"@id": "ex:a", "@type": "ex:T", "ex:p": "va"}]},
+    ),
+    (
+        "@type alternatives match any listed type",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:T"},
+            {"@id": "ex:b", "@type": "ex:U"},
+            {"@id": "ex:c", "@type": "ex:V"}]},
+        {"@context": _FEX, "@type": ["ex:T", "ex:U"]},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:T"},
+            {"@id": "ex:b", "@type": "ex:U"}]},
+    ),
+    (
+        "@id exact match",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "ex:p": "va"}, {"@id": "ex:b", "ex:p": "vb"}]},
+        {"@context": _FEX, "@id": "ex:a"},
+        {"@context": _FEX, "@graph": [{"@id": "ex:a", "ex:p": "va"}]},
+    ),
+    (
+        "property presence via a wildcard subframe",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "ex:p": {"@id": "ex:x", "ex:q": "inner"}},
+            {"@id": "ex:b", "ex:r": "vb"}]},
+        {"@context": _FEX, "ex:p": {}},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a",
+             "ex:p": {"@id": "ex:x", "ex:q": "inner"}}]},
+    ),
+    (
+        "[] requires the property to be absent",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "ex:p": "va", "ex:q": "qa"},
+            {"@id": "ex:b", "ex:q": "qb"}]},
+        {"@context": _FEX, "ex:p": []},
+        {"@context": _FEX, "@graph": [{"@id": "ex:b", "ex:q": "qb"}]},
+    ),
+    (
+        "@default fills a missing property",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:T", "ex:p": "va"},
+            {"@id": "ex:b", "@type": "ex:T"}]},
+        {"@context": _FEX, "@type": "ex:T", "ex:p": {"@default": "fallback"}},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:T", "ex:p": "va"},
+            {"@id": "ex:b", "@type": "ex:T", "ex:p": "fallback"}]},
+    ),
+    (
+        "@default null compacts to a null value",
+        {"@context": _FEX, "@graph": [{"@id": "ex:b", "@type": "ex:T"}]},
+        {"@context": _FEX, "@type": "ex:T", "ex:p": {"@default": None}},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:b", "@type": "ex:T", "ex:p": None}]},
+    ),
+    (
+        "@embed false keeps references only",
+        {"@context": _FEX, "@id": "ex:a", "@type": "ex:T",
+         "ex:p": {"@id": "ex:b", "ex:q": "vb"}},
+        {"@context": _FEX, "@type": "ex:T", "@embed": False},
+        {"@context": _FEX, "@graph": [{"@id": "ex:a"}]},
+    ),
+    (
+        "@explicit keeps only framed properties",
+        {"@context": _FEX, "@id": "ex:a", "@type": "ex:T",
+         "ex:p": "keep", "ex:q": "drop"},
+        {"@context": _FEX, "@type": "ex:T", "ex:p": {}, "@explicit": True},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:T", "ex:p": "keep"}]},
+    ),
+    (
+        "@embedChildren false copies references verbatim",
+        {"@context": _FEX, "@id": "ex:a", "@type": "ex:T",
+         "ex:p": {"@id": "ex:b", "ex:q": "vb"}},
+        {"@context": _FEX, "@type": "ex:T", "@embedChildren": False},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:T", "ex:p": {"@id": "ex:b"}}]},
+    ),
+    (
+        "nested subframe constrains the child",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "ex:knows": {"@id": "ex:x", "@type": "ex:T"}},
+            {"@id": "ex:b", "ex:knows": {"@id": "ex:y", "@type": "ex:U"}}]},
+        {"@context": _FEX, "ex:knows": {"@type": "ex:T"}},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a",
+             "ex:knows": {"@id": "ex:x", "@type": "ex:T"}}]},
+    ),
+    (
+        "subframe @embed false truncates the child",
+        {"@context": _FEX, "@id": "ex:a",
+         "ex:knows": {"@id": "ex:x", "@type": "ex:T", "ex:q": "vx"}},
+        {"@context": _FEX, "ex:knows": {"@type": "ex:T", "@embed": False}},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "ex:knows": {"@id": "ex:x"}}]},
+    ),
+    (
+        "raw string value matches strictly",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "ex:p": "hit"}, {"@id": "ex:b", "ex:p": "miss"}]},
+        {"@context": _FEX, "ex:p": "hit"},
+        {"@context": _FEX, "@graph": [{"@id": "ex:a", "ex:p": "hit"}]},
+    ),
+    (
+        "typed value object match",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "ex:p": {"@value": "5", "@type": "ex:num"}},
+            {"@id": "ex:b", "ex:p": {"@value": "5", "@type": "ex:other"}}]},
+        {"@context": _FEX, "ex:p": {"@value": "5", "@type": "ex:num"}},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a",
+             "ex:p": {"@value": "5", "@type": "ex:num"}}]},
+    ),
+    (
+        "language-tagged value match",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "ex:p": {"@value": "chat", "@language": "fr"}},
+            {"@id": "ex:b", "ex:p": {"@value": "chat", "@language": "en"}}]},
+        {"@context": _FEX, "ex:p": {"@value": "chat", "@language": "fr"}},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a",
+             "ex:p": {"@value": "chat", "@language": "fr"}}]},
+    ),
+    (
+        "raw integer matches int strictly, not float",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "ex:p": 5}, {"@id": "ex:b", "ex:p": 5.0}]},
+        {"@context": _FEX, "ex:p": 5},
+        {"@context": _FEX, "@graph": [{"@id": "ex:a", "ex:p": 5}]},
+    ),
+    (
+        "raw boolean true does not match 1",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "ex:p": True}, {"@id": "ex:b", "ex:p": 1}]},
+        {"@context": _FEX, "ex:p": True},
+        {"@context": _FEX, "@graph": [{"@id": "ex:a", "ex:p": True}]},
+    ),
+    (
+        "explicit @value matches loosely ('5' matches 5)",
+        {"@context": _FEX, "@id": "ex:a", "ex:p": 5},
+        {"@context": _FEX, "ex:p": {"@value": "5"}},
+        {"@context": _FEX, "@graph": [{"@id": "ex:a", "ex:p": 5}]},
+    ),
+    (
+        "explicit @value 0 matches 'abc' (pre-PHP-8 loose ==)",
+        {"@context": _FEX, "@id": "ex:a", "ex:p": "abc"},
+        {"@context": _FEX, "ex:p": {"@value": 0}},
+        {"@context": _FEX, "@graph": [{"@id": "ex:a", "ex:p": "abc"}]},
+    ),
+    (
+        "explicit @value array lists alternatives",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "ex:p": "a"}, {"@id": "ex:b", "ex:p": "b"},
+            {"@id": "ex:c", "ex:p": "c"}]},
+        {"@context": _FEX, "ex:p": {"@value": ["a", "b"]}},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "ex:p": "a"}, {"@id": "ex:b", "ex:p": "b"}]},
+    ),
+    (
+        "explicit @language array lists alternatives",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "ex:p": {"@value": "chat", "@language": "fr"}},
+            {"@id": "ex:b", "ex:p": {"@value": "chat", "@language": "en"}}]},
+        {"@context": _FEX, "ex:p": {"@value": "chat", "@language": ["fr", "de"]}},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a",
+             "ex:p": {"@language": "fr", "@value": "chat"}}]},
+    ),
+    (
+        "@type [] vanishes during frame expansion",
+        {"@context": _FEX, "@id": "ex:a", "@type": "ex:T", "ex:p": "v"},
+        {"@context": _FEX, "@type": [], "ex:p": {}},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:T", "ex:p": "v"}]},
+    ),
+    (
+        "mutual references stop at the visited path",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "ex:p": {"@id": "ex:b"}},
+            {"@id": "ex:b", "ex:q": {"@id": "ex:a"}}]},
+        {},
+        {"@graph": [
+            {"@id": EX + "a",
+             EX + "p": {"@id": EX + "b",
+                        EX + "q": {"@id": EX + "a"}}},
+            {"@id": EX + "b",
+             EX + "q": {"@id": EX + "a",
+                        EX + "p": {"@id": EX + "b"}}}]},
+    ),
+    (
+        "shared child re-embeds under every parent",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:P", "ex:p": {"@id": "ex:c"}},
+            {"@id": "ex:b", "@type": "ex:P", "ex:p": {"@id": "ex:c"}},
+            {"@id": "ex:c", "ex:q": "shared"}]},
+        {"@context": _FEX, "@type": "ex:P"},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:P",
+             "ex:p": {"@id": "ex:c", "ex:q": "shared"}},
+            {"@id": "ex:b", "@type": "ex:P",
+             "ex:p": {"@id": "ex:c", "ex:q": "shared"}}]},
+    ),
+    (
+        "a frame with @graph can never match (bug-compat)",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:g", "@graph": [{"@id": "ex:m", "ex:p": "v"}]}]},
+        {"@context": _FEX, "@id": "ex:g", "@graph": [{}]},
+        {"@context": _FEX, "@graph": []},
+    ),
+    (
+        "no match yields an empty graph",
+        {"@context": _FEX, "@id": "ex:a", "@type": "ex:T"},
+        {"@context": _FEX, "@type": "ex:Missing"},
+        {"@context": _FEX, "@graph": []},
+    ),
+    (
+        "output compacts with the frame's context",
+        {"@context": {"p": EX + "p"}, "@id": EX + "a", "p": "v"},
+        {"@context": {"prop": EX + "p"}, "prop": {}},
+        {"@context": {"prop": EX + "p"},
+         "@graph": [{"@id": EX + "a", "prop": "v"}]},
+    ),
+    (
+        "the @graph wrapper takes its keyword alias",
+        {"@context": _FEX, "@id": "ex:a", "@type": "ex:T"},
+        {"@context": {"ex": EX, "data": "@graph"}, "@type": "ex:T"},
+        {"@context": {"ex": EX, "data": "@graph"},
+         "data": [{"@id": "ex:a", "@type": "ex:T"}]},
+    ),
+    (
+        "list objects embed through a wildcard",
+        {"@context": _FEX, "@id": "ex:a", "@type": "ex:T",
+         "ex:p": {"@list": ["x", "y"]}},
+        {"@context": _FEX, "@type": "ex:T"},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:T",
+             "ex:p": {"@list": ["x", "y"]}}]},
+    ),
+    (
+        "@list subframe filters list items",
+        {"@context": _FEX, "@id": "ex:a",
+         "ex:p": {"@list": ["keep", "drop"]}},
+        {"@context": _FEX, "ex:p": {"@list": "keep"}},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "ex:p": {"@list": ["keep"]}}]},
+    ),
+    (
+        "matching works on the merged graph",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:g1", "@graph": [
+                {"@id": "ex:a", "@type": "ex:T", "ex:p": "from-g1"}]},
+            {"@id": "ex:g2", "@graph": [
+                {"@id": "ex:a", "ex:q": "from-g2"}]}]},
+        {"@context": _FEX, "@type": "ex:T"},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:T",
+             "ex:p": "from-g1", "ex:q": "from-g2"}]},
+    ),
+    (
+        "self reference collapses to an id reference",
+        {"@context": _FEX, "@id": "ex:a", "ex:p": {"@id": "ex:a"}},
+        {},
+        {"@graph": [
+            {"@id": EX + "a",
+             EX + "p": {"@id": EX + "a"}}]},
+    ),
+    (
+        "empty-array property counts as missing for @default",
+        {"@context": _FEX, "@graph": [{"@id": "ex:a", "@type": "ex:T"}]},
+        {"@context": _FEX, "@type": "ex:T", "ex:p": [{"@default": "dft"}]},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:T", "ex:p": "dft"}]},
+    ),
+    (
+        "a @graph-only frame unwraps to its content",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:T", "ex:p": "va"},
+            {"@id": "ex:b", "@type": "ex:U"}]},
+        {"@context": _FEX, "@graph": {"@type": "ex:T"}},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:T", "ex:p": "va"}]},
+    ),
+    (
+        "@default coexists with a nested subframe",
+        {"@context": _FEX, "@id": "ex:a", "@type": "ex:T",
+         "ex:knows": {"@id": "ex:x", "@type": "ex:K"}},
+        {"@context": _FEX, "@type": "ex:T",
+         "ex:missing": {"@default": "dft"},
+         "ex:knows": {"@type": "ex:K"}},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:T",
+             "ex:knows": {"@id": "ex:x", "@type": "ex:K"},
+             "ex:missing": "dft"}]},
+    ),
+    (
+        "a relative frame @id resolves against the base",
+        {"@context": _FEX, "@id": "rel", "ex:p": "v"},
+        {"@context": _FEX, "@id": "rel"},
+        {"@context": _FEX, "@graph": [{"@id": "rel", "ex:p": "v"}]},
+    ),
+    (
+        "list node references embed fully via a wildcard",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:T",
+             "ex:p": {"@list": [{"@id": "ex:m1"}, {"@id": "ex:m2"}]}},
+            {"@id": "ex:m1", "ex:q": "v1"}, {"@id": "ex:m2", "ex:q": "v2"}]},
+        {"@context": _FEX, "@type": "ex:T"},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:T",
+             "ex:p": {"@list": [
+                 {"@id": "ex:m1", "ex:q": "v1"},
+                 {"@id": "ex:m2", "ex:q": "v2"}]}}]},
+    ),
+    (
+        "a @list subframe constrains list node references",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a",
+             "ex:p": {"@list": [{"@id": "ex:m1"}, {"@id": "ex:m2"}]}},
+            {"@id": "ex:m1", "@type": "ex:K", "ex:q": "v1"},
+            {"@id": "ex:m2", "@type": "ex:L", "ex:q": "v2"}]},
+        {"@context": _FEX, "ex:p": {"@list": {"@type": "ex:K"}}},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "ex:p": {"@list": [
+                {"@id": "ex:m1", "@type": "ex:K", "ex:q": "v1"}]}}]},
+    ),
+    (
+        "@embedChildren false keeps list references verbatim",
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:T",
+             "ex:p": {"@list": [{"@id": "ex:m1"}]}},
+            {"@id": "ex:m1", "ex:q": "v1"}]},
+        {"@context": _FEX, "@type": "ex:T", "@embedChildren": False},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:T",
+             "ex:p": {"@list": [{"@id": "ex:m1"}]}}]},
+    ),
+    (
+        "embedded blank nodes keep their relabeled ids",
+        {"@context": _FEX, "@id": "ex:a", "@type": "ex:T",
+         "ex:p": {"ex:q": "anon"}},
+        {"@context": _FEX, "@type": "ex:T"},
+        {"@context": _FEX, "@graph": [
+            {"@id": "ex:a", "@type": "ex:T",
+             "ex:p": {"@id": "_:b0", "ex:q": "anon"}}]},
+    ),
+    # negatives
+    (
+        "frame must be an object",
+        {"@id": EX + "a"},
+        ["not-an-object"],
+        None,
+        "unknown",
+    ),
+    (
+        "two top-level frame objects are invalid",
+        {"@context": _FEX, "@id": "ex:a"},
+        {"@context": _FEX, "@graph": [{"@type": "ex:T"}, {"@type": "ex:U"}]},
+        None,
+        "unknown",
+    ),
+    (
+        "@id alternatives are rejected in frame expansion (bug-compat)",
+        {"@context": _FEX, "@id": "ex:a"},
+        {"@context": _FEX, "@id": ["ex:a", "ex:c"]},
+        None,
+        "invalid @id value",
+    ),
+]
+
 
 def _write(path: str, text: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -3470,6 +3882,18 @@ def main() -> None:
                 _write(os.path.join(OUT, f"{kind}/{nid}-context.jsonld"),
                        _json({"@context": case[2]}))
                 _write(os.path.join(OUT, f"{kind}/{nid}-out.jsonld"), _json(case[3]))
+            elif kind == "frame":
+                entry["frame"] = f"{kind}/{nid}-frame.jsonld"
+                _write(os.path.join(OUT, f"{kind}/{nid}-in.jsonld"), _json(case[1]))
+                _write(os.path.join(OUT, f"{kind}/{nid}-frame.jsonld"),
+                       _json(case[2]))
+                if case[3] is None:
+                    entry["@type"] = ["jld:NegativeEvaluationTest", "jld:FrameTest"]
+                    entry["expectErrorCode"] = case[4]
+                else:
+                    entry["expect"] = f"{kind}/{nid}-out.jsonld"
+                    _write(os.path.join(OUT, f"{kind}/{nid}-out.jsonld"),
+                           _json(case[3]))
             elif kind == "fromRdf":
                 entry["input"] = f"{kind}/{nid}-in.nq"
                 entry["expect"] = f"{kind}/{nid}-out.jsonld"
@@ -3504,11 +3928,12 @@ def main() -> None:
     emit("toRdf", "ToRDFTest", TORDF)
     emit("fromRdf", "FromRDFTest", FROMRDF)
     emit("remote", "ExpandTest", REMOTE)
+    emit("frame", "FrameTest", FRAME)
     emit("error", "ExpandTest", ERRORS)
     _write(os.path.join(OUT, "manifest.jsonld"),
            _json({"@id": "manifest", "name": "root", "sequence": manifests}))
     total = (len(EXPAND) + len(COMPACT) + len(FLATTEN) + len(TORDF)
-             + len(FROMRDF) + len(REMOTE) + len(ERRORS))
+             + len(FROMRDF) + len(REMOTE) + len(FRAME) + len(ERRORS))
     print(f"wrote {total} tests under {os.path.abspath(OUT)}")
 
 

@@ -22,7 +22,8 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 FIXTURE_DIR = os.path.join(REPO_ROOT, "tests", "w3c")
-KINDS = ("expand", "compact", "flatten", "toRdf", "fromRdf", "remote", "error")
+KINDS = ("expand", "compact", "flatten", "toRdf", "fromRdf", "remote", "frame",
+         "error")
 
 
 def iter_manifest(kind: str):
@@ -79,6 +80,21 @@ def run_case(kind: str, entry: dict) -> dict:
             return {"ok": False, "actual": "(no error)",
                     "expected": entry["expectErrorCode"]}
         actual = api.expand(doc, base=base, loader=loader)
+        expected = json.loads(_read(entry["expect"]))
+        return {"ok": _norm_json(actual) == _norm_json(expected),
+                "actual": actual, "expected": expected}
+
+    if kind == "frame":
+        frame_text = _read(entry["frame"])
+        if "expectErrorCode" in entry:
+            try:
+                api.frame(doc, frame_text, base=base)
+            except JsonLdError as exc:
+                return {"ok": exc.code == entry["expectErrorCode"],
+                        "actual": exc.code, "expected": entry["expectErrorCode"]}
+            return {"ok": False, "actual": "(no error)",
+                    "expected": entry["expectErrorCode"]}
+        actual = api.frame(doc, frame_text, base=base)
         expected = json.loads(_read(entry["expect"]))
         return {"ok": _norm_json(actual) == _norm_json(expected),
                 "actual": actual, "expected": expected}
