@@ -454,8 +454,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf, plant_every=similarity.PLANT_EVERY
         ),
         # --- text analysis ---
-        "text_token_stats": text.token_stats,
-        "text_quality": text.quality_scores,
+        # token counting + quality scoring, one wide per-doc row
+        "text_stats_suite": suites.text_stats_suite,
+        # CCNet/C4-style corpus-frequency boilerplate removal over
+        # transcript turns (broadcast anti-join; boilerplate table +
+        # per-role kept/dropped evidence)
+        "text_boilerplate": text.boilerplate_suite,
         # marker-based langid (corpus docs) + Cavnar-Trenkle trigram
         # langid (planted multilingual fixture), one union suite
         "text_langid_suite": suites.text_langid_suite,
@@ -568,8 +572,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_embedding_neardup": similarity.embedding_near_duplicates_sql(
             plant_every=similarity.PLANT_EVERY
         ),
-        "text_token_stats": text.token_stats_sql(),
-        "text_quality": text.quality_scores_sql(),
+        "text_stats_suite": suites.text_stats_suite_sql(),
+        "text_boilerplate": text.boilerplate_suite_sql(),
         "text_langid_suite": suites.text_langid_suite_sql(),
         "text_fingerprint": text.fingerprints_sql(),
         "sketch_kmv_distinct": __import__(

@@ -53,7 +53,7 @@ HEADLINE = [
     # dedup_simhash_pairs entry (which already computed the values)
     "dedup_simhash_suite",
     "sim_lsh_ann_topk",
-    "text_quality",
+    "text_stats_suite",
     # r5: the rel_* family is one union suite (registry consolidation,
     # VERDICT r4 #1) — strictly MORE work than r4's rel_pricing_summary
     # (pricing + top-N join + anti-join + sessionization), so compare

@@ -359,6 +359,32 @@ SELECT 'trigram', doc_id, true_lang, lang_guess,
 FROM ({text.language_id_trigram_sql()}) lt"""
 
 
+# --- per-doc scalar text metrics (2 -> 1, frees a slot for boilerplate) ----
+
+def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_stats + quality_scores joined on doc_id into one wide
+    per-document row (both are single-pass scalar metrics over the
+    same table; Catalyst collapses the join of two projections of one
+    scan into a single stage). Schema: (doc_id, n_tokens,
+    n_distinct_tokens, n_subtokens, n_chars, stopword_ratio,
+    chars_per_token, alpha_ratio)."""
+    from jsonld_spark.operators import text
+
+    tok = text.token_stats(spark, sf_dir)
+    qual = text.quality_scores(spark, sf_dir).drop("n_tokens")
+    return tok.join(qual, "doc_id")
+
+
+def text_stats_suite_sql() -> str:
+    from jsonld_spark.operators import text
+
+    return f"""
+SELECT t.doc_id, t.n_tokens, t.n_distinct_tokens, t.n_subtokens, t.n_chars,
+       q.stopword_ratio, q.chars_per_token, q.alpha_ratio
+FROM ({text.token_stats_sql()}) t
+JOIN ({text.quality_scores_sql()}) q USING (doc_id)"""
+
+
 # --- as-of + binned-range interval joins (new family, round 5) -------------
 
 def rel_interval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

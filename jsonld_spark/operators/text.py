@@ -597,3 +597,109 @@ SELECT doc_id, n_shingles, len(fp) AS n_fingerprints,
        fp[1] AS fp_min, fp[-1] AS fp_max,
        CASE WHEN len(fp) > 0 THEN md5(array_to_string(fp, ',')) END AS fp_digest
 FROM f"""
+
+
+# --- corpus-frequency boilerplate removal ----------------------------------
+#
+# CCNet-style cleanup (Wenzek et al. 2020 dedup paragraphs by corpus-
+# wide hash frequency; C4 drops lines repeated across documents). Here
+# the unit is the transcript TURN: canned tool banners / templated
+# system turns repeat near-verbatim across conversations, and a
+# training pipeline drops any turn whose exact text appears in more
+# than BOILER_FRAC of all conversations. The reference has no corpus-
+# level operator (JsonLD processes one document at a time); this is
+# part of the LLM-pipeline surface the engine adds on top.
+#
+# Scale shape (the 100-TB contract):
+#   1. frequency table  = one hash groupBy over (text) with map-side
+#      partial aggregation — the same shape as exact dedup;
+#   2. the boilerplate subset is SMALL BY CONSTRUCTION (texts repeated
+#      in >= frac of ALL conversations — cardinality bounded by
+#      turns/(frac*n_convs)), so it broadcasts;
+#   3. removal is a broadcast LEFT ANTI join — zero shuffle on the
+#      (huge) turns side beyond the scan.
+# The scalar total-conversation count attaches as a scalar subquery
+# (computed once, broadcast — never a nested-loop join; plan-guarded).
+
+BOILER_FRAC = 0.75
+
+
+def boilerplate_frequency(turns: DataFrame, frac: float = BOILER_FRAC) -> DataFrame:
+    """Texts occurring in >= ``frac`` of all conversations:
+    (text, n_convs, n_turns, total_convs)."""
+    freq = turns.groupBy("text").agg(
+        F.count_distinct("conv_id").alias("n_convs"),
+        F.count("*").alias("n_turns"),
+    )
+    # the conversation total attaches as a SCALAR SUBQUERY (computed
+    # once, broadcast into the filter) — no join node at all, so no
+    # 1-row BroadcastNestedLoopJoin for the plan guards to worry about
+    total = turns.agg(F.count_distinct("conv_id").alias("total_convs")).scalar()
+    return freq.withColumn("total_convs", total).where(
+        F.col("n_convs") >= F.lit(frac) * F.col("total_convs")
+    )
+
+
+def remove_boilerplate(turns: DataFrame, boiler: DataFrame) -> DataFrame:
+    """Drop every turn whose text is in the boilerplate set (broadcast
+    anti join — the turns side never shuffles)."""
+    return turns.join(F.broadcast(boiler.select("text")), "text", "left_anti")
+
+
+def boilerplate_suite(
+    spark: SparkSession, sf_dir: str, frac: float = BOILER_FRAC
+) -> DataFrame:
+    """Driver-evidence union: the boilerplate table itself plus per-role
+    kept/dropped summaries of the filtered corpus.
+    Schema: (part, key, n_convs, n_turns)."""
+    from jsonld_spark.operators import scratch
+    from jsonld_spark.sources.transcripts import transcript_corpus
+
+    turns = transcript_corpus(spark, sf_dir)
+    boiler = scratch.track(boilerplate_frequency(turns, frac))
+    kept = remove_boilerplate(turns, boiler)
+    dropped = turns.join(F.broadcast(boiler.select("text")), "text", "left_semi")
+
+    def role_summary(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("role").agg(
+            F.count_distinct("conv_id").alias("n_convs"),
+            F.count("*").alias("n_turns"),
+        ).select(
+            F.lit(tag).alias("part"),
+            F.col("role").alias("key"),
+            "n_convs",
+            "n_turns",
+        )
+
+    head = boiler.select(
+        F.lit("boiler").alias("part"),
+        F.col("text").alias("key"),
+        "n_convs",
+        "n_turns",
+    )
+    return head.unionByName(role_summary(kept, "kept_role")).unionByName(
+        role_summary(dropped, "drop_role")
+    )
+
+
+def boilerplate_suite_sql(frac: float = BOILER_FRAC) -> str:
+    from jsonld_spark.sources.transcripts import (
+        transcripts_sql,
+        transcripts_text_sql,
+    )
+
+    return f"""
+WITH tr AS ({transcripts_sql()}),
+turns AS (SELECT conv_id, role, {transcripts_text_sql()} AS text FROM tr),
+freq AS (SELECT text, count(DISTINCT conv_id) AS n_convs, count(*) AS n_turns
+         FROM turns GROUP BY 1),
+tot AS (SELECT count(DISTINCT conv_id) AS total_convs FROM turns),
+boiler AS (SELECT f.text, f.n_convs, f.n_turns FROM freq f, tot t
+           WHERE f.n_convs >= {frac} * t.total_convs)
+SELECT 'boiler' AS part, text AS key, n_convs, n_turns FROM boiler
+UNION ALL
+SELECT 'kept_role', role, count(DISTINCT conv_id), count(*)
+FROM turns WHERE text NOT IN (SELECT text FROM boiler) GROUP BY 2
+UNION ALL
+SELECT 'drop_role', role, count(DISTINCT conv_id), count(*)
+FROM turns WHERE text IN (SELECT text FROM boiler) GROUP BY 2"""

@@ -56,18 +56,7 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     eid = F.col("event_id")
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    n_mentions = (eid % 3 + 1).cast("int")
-
-    s0 = _mention_surface(eid, 0)
-    s1 = _mention_surface(eid, 1)
-    s2 = _mention_surface(eid, 2)
-    text = F.concat(
-        F.lit(TEXT_PREFIX),
-        s0,
-        F.when(n_mentions > 1, F.concat(F.lit(TEXT_SEP[0]), s1)).otherwise(F.lit("")),
-        F.when(n_mentions > 2, F.concat(F.lit(TEXT_SEP[1]), s2)).otherwise(F.lit("")),
-        F.lit(TEXT_SUFFIX),
-    )
+    text = _text_expr()
 
     return ev.select(
         F.concat(F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 8, "0")).alias(
@@ -85,23 +74,46 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def transcript_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Just the text column, events-derived WITHOUT the row_number
-    window: text depends only on event_id, so consumers that need no
-    turn ordering (e.g. corpus-level entity facts) skip the window
-    shuffle entirely."""
-    ev = read_table(spark, sf_dir, "events")
+def _text_expr():
+    """The turn-text column expression (depends only on event_id)."""
     eid = F.col("event_id")
     n_mentions = (eid % 3 + 1).cast("int")
     s0, s1, s2 = (_mention_surface(eid, j) for j in range(3))
-    text = F.concat(
+    return F.concat(
         F.lit(TEXT_PREFIX),
         s0,
         F.when(n_mentions > 1, F.concat(F.lit(TEXT_SEP[0]), s1)).otherwise(F.lit("")),
         F.when(n_mentions > 2, F.concat(F.lit(TEXT_SEP[1]), s2)).otherwise(F.lit("")),
         F.lit(TEXT_SUFFIX),
     )
-    return ev.select(text.alias("text"))
+
+
+def transcript_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Just the text column, events-derived WITHOUT the row_number
+    window: text depends only on event_id, so consumers that need no
+    turn ordering (e.g. corpus-level entity facts) skip the window
+    shuffle entirely."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(_text_expr().alias("text"))
+
+
+def transcript_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(conv_id, role, text) — the corpus view for frequency-based
+    cleanup operators (boilerplate removal). Like transcript_texts it
+    skips the row_number window entirely: none of conv_id / role / text
+    needs turn ordering, so at 100 TB this is a pure narrow scan-side
+    projection with zero shuffle before the consumer's aggregation."""
+    ev = read_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return ev.select(
+        F.concat(F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 8, "0")).alias(
+            "conv_id"
+        ),
+        F.element_at(
+            F.array(*[F.lit(r) for r in ROLES]), (eid % 4 + 1).cast("int")
+        ).alias("role"),
+        _text_expr().alias("text"),
+    )
 
 
 # The same derivation as a DuckDB SQL fragment (CTE body), kept next to

@@ -281,3 +281,34 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_bkt_l")
         spark.sql("DROP TABLE IF EXISTS t_bkt_r")
+
+
+def test_boilerplate_removal_is_broadcast_anti_join_shaped(spark):
+    """Boilerplate removal (round 5): the scalar total-conversation
+    count must attach as a scalar SUBQUERY (computed once, broadcast
+    into the filter — no join node, in particular no 1-row nested-loop
+    cross join), and the removal itself must be a broadcast LEFT ANTI
+    join — the huge turns side never shuffles beyond its scan at
+    100 TB."""
+    from jsonld_spark.operators import text
+    from jsonld_spark.sources.transcripts import transcript_corpus
+
+    turns = transcript_corpus(spark, SF)
+    boiler = text.boilerplate_frequency(turns)
+    plan = physical_plan_of(boiler)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Subquery subquery" in plan, plan  # the totals attach
+
+    kept = text.remove_boilerplate(turns, boiler)
+    plan = physical_plan_of(kept)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti, BuildRight" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    ), plan
+    # the corpus view itself is window-free: no Exchange before the
+    # first aggregation's own shuffle on the turns scan side
+    corpus_plan = physical_plan_of(turns)
+    assert "Window" not in corpus_plan, corpus_plan
+    assert "Exchange" not in corpus_plan, corpus_plan

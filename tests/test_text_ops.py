@@ -238,3 +238,56 @@ def test_planted_fixture_accuracy_is_perfect(spark):
     rows = got.collect()
     assert len(rows) > 0
     assert all(r["correct"] == 1 for r in rows)
+
+
+# --- corpus-frequency boilerplate removal ----------------------------------
+
+def _turns_df(spark, rows):
+    return spark.createDataFrame(rows, "conv_id string, role string, text string")
+
+
+def test_boilerplate_planted_banner_detected(spark):
+    # banner in 9 of 10 convs; every other text unique to one conv
+    rows = []
+    for c in range(10):
+        if c != 7:
+            rows.append((f"conv-{c}", "tool", "BANNER: tool ready"))
+        rows.append((f"conv-{c}", "user", f"unique question {c}"))
+    turns = _turns_df(spark, rows)
+    boiler = T.boilerplate_frequency(turns, frac=0.75)
+    got = boiler.collect()
+    assert len(got) == 1
+    assert got[0]["text"] == "BANNER: tool ready"
+    assert got[0]["n_convs"] == 9 and got[0]["n_turns"] == 9
+    assert got[0]["total_convs"] == 10
+
+    kept = T.remove_boilerplate(turns, boiler)
+    kept_texts = [r["text"] for r in kept.collect()]
+    assert len(kept_texts) == 10
+    assert all(t.startswith("unique question") for t in kept_texts)
+
+
+def test_boilerplate_threshold_is_inclusive_fraction(spark):
+    # text in exactly 3 of 4 convs == 0.75 -> boilerplate at frac=0.75,
+    # not at frac=0.76 (the >= comparison is on frac * total)
+    rows = [(f"conv-{c}", "system", "canned") for c in range(3)]
+    rows += [(f"conv-{c}", "user", f"u{c}") for c in range(4)]
+    turns = _turns_df(spark, rows)
+    assert T.boilerplate_frequency(turns, frac=0.75).count() == 1
+    assert T.boilerplate_frequency(turns, frac=0.76).count() == 0
+
+
+def test_boilerplate_suite_on_sf0001(spark):
+    suite = T.boilerplate_suite(spark, "/root/testdata/sf0.001").collect()
+    parts = {}
+    for r in suite:
+        parts.setdefault(r["part"], []).append(r)
+    # 15 convs at sf0.001 -> threshold 11.25 -> texts in >= 12 convs
+    assert len(parts["boiler"]) == 17
+    assert all(r["n_convs"] >= 12 for r in parts["boiler"])
+    kept = sum(r["n_turns"] for r in parts["kept_role"])
+    dropped = sum(r["n_turns"] for r in parts["drop_role"])
+    assert kept + dropped == 1000
+    assert dropped == sum(r["n_turns"] for r in parts["boiler"])
+    from jsonld_spark.operators import scratch
+    scratch.release()
