@@ -362,17 +362,19 @@ FROM ({text.language_id_trigram_sql()}) lt"""
 # --- per-doc scalar text metrics (2 -> 1, frees a slot for boilerplate) ----
 
 def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """token_stats + quality_scores joined on doc_id into one wide
-    per-document row (both are single-pass scalar metrics over the
-    same table; Catalyst collapses the join of two projections of one
-    scan into a single stage). Schema: (doc_id, n_tokens,
-    n_distinct_tokens, n_subtokens, n_chars, stopword_ratio,
-    chars_per_token, alpha_ratio)."""
+    """token_stats + quality_scores + Gopher-style repetition_stats
+    joined on doc_id into one wide per-document row (all single-pass
+    per-doc metrics over the same table; the two scan projections
+    collapse into one stage, the repetition aggregate joins on the
+    doc_id key). Schema: (doc_id, n_tokens, n_distinct_tokens,
+    n_subtokens, n_chars, stopword_ratio, chars_per_token,
+    alpha_ratio, top2gram_frac, dup3gram_frac)."""
     from jsonld_spark.operators import text
 
     tok = text.token_stats(spark, sf_dir)
     qual = text.quality_scores(spark, sf_dir).drop("n_tokens")
-    return tok.join(qual, "doc_id")
+    rep = text.repetition_stats(spark, sf_dir)
+    return tok.join(qual, "doc_id").join(rep, "doc_id")
 
 
 def text_stats_suite_sql() -> str:
@@ -380,9 +382,11 @@ def text_stats_suite_sql() -> str:
 
     return f"""
 SELECT t.doc_id, t.n_tokens, t.n_distinct_tokens, t.n_subtokens, t.n_chars,
-       q.stopword_ratio, q.chars_per_token, q.alpha_ratio
+       q.stopword_ratio, q.chars_per_token, q.alpha_ratio,
+       r.top2gram_frac, r.dup3gram_frac
 FROM ({text.token_stats_sql()}) t
-JOIN ({text.quality_scores_sql()}) q USING (doc_id)"""
+JOIN ({text.quality_scores_sql()}) q USING (doc_id)
+JOIN ({text.repetition_stats_sql()}) r USING (doc_id)"""
 
 
 # --- as-of + binned-range interval joins (new family, round 5) -------------

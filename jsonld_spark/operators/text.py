@@ -703,3 +703,77 @@ FROM turns WHERE text NOT IN (SELECT text FROM boiler) GROUP BY 2
 UNION ALL
 SELECT 'drop_role', role, count(DISTINCT conv_id), count(*)
 FROM turns WHERE text IN (SELECT text FROM boiler) GROUP BY 2"""
+
+
+# --- Gopher-style repetition metrics ---------------------------------------
+#
+# Rae et al. 2021 (Gopher, public) filter training documents by
+# repetition: the fraction of the document covered by its single most
+# frequent 2-gram, and the fraction of n-gram occurrences that are
+# duplicates. Computed DISTRIBUTED (explode -> two-level hash
+# aggregation with map-side partial agg), never per-row O(d^2) array
+# scans — a long document costs O(d) exploded rows, the same shape as
+# the trigram language-ID stage.
+
+def _gram_expr(n: int):
+    """Array of word n-grams of ``toks`` (empty when too short)."""
+    return F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(0, size(toks)-{n}), "
+        f"i -> concat_ws(' ', slice(toks, i+1, {n}))) "
+        f"ELSE array() END"
+    )
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals: (doc_id, top2gram_frac — share of
+    bigram occurrences taken by the most common bigram — and
+    dup3gram_frac — share of trigram occurrences that are repeats).
+    NULL when the document is too short to have any such n-gram."""
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _toks().alias("toks"))
+
+    def agg(n: int, p: str) -> DataFrame:
+        g = base.select("doc_id", F.explode(_gram_expr(n)).alias("g"))
+        c = g.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+        return c.groupBy("doc_id").agg(
+            F.max("cnt").alias(f"{p}_max"),
+            F.sum("cnt").alias(f"{p}_total"),
+            F.count("*").alias(f"{p}_distinct"),
+        )
+
+    return (
+        docs.select("doc_id")
+        .join(agg(2, "g2"), "doc_id", "left")
+        .join(agg(3, "g3"), "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("g2_max") * 1.0 / F.col("g2_total")).alias("top2gram_frac"),
+            (
+                (F.col("g3_total") - F.col("g3_distinct"))
+                * 1.0
+                / F.col("g3_total")
+            ).alias("dup3gram_frac"),
+        )
+    )
+
+
+def repetition_stats_sql() -> str:
+    def gram_cte(n: int, name: str) -> str:
+        return f"""
+{name}_g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)-{n}+2),
+                    i -> array_to_string(list_slice(toks, i, i+{n}-1), ' '))) AS g
+      FROM d WHERE len(toks) >= {n}),
+{name}_c AS (SELECT doc_id, g, count(*) AS cnt FROM {name}_g GROUP BY 1, 2),
+{name} AS (SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot, count(*) AS dst
+           FROM {name}_c GROUP BY 1)"""
+
+    return f"""
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+{gram_cte(2, "a2")},
+{gram_cte(3, "a3")}
+SELECT d.doc_id,
+       a2.mx * 1.0 / a2.tot AS top2gram_frac,
+       (a3.tot - a3.dst) * 1.0 / a3.tot AS dup3gram_frac
+FROM d LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)"""

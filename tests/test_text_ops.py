@@ -291,3 +291,23 @@ def test_boilerplate_suite_on_sf0001(spark):
     assert dropped == sum(r["n_turns"] for r in parts["boiler"])
     from jsonld_spark.operators import scratch
     scratch.release()
+
+
+# --- Gopher-style repetition metrics ---------------------------------------
+
+def test_repetition_stats_planted_values(spark, tmp_path):
+    sf_dir = _write_docs(spark, tmp_path, [
+        # bigrams: "a b" x3, "b a" x2 -> top2 = 3/5
+        # trigrams: "a b a" x2, "b a b" x2 -> dup3 = (4-2)/4
+        (0, "a b a b a b", "en"),
+        (1, "all words unique here today", "en"),  # top2 1/4, dup3 0
+        (2, "xy", "en"),          # 1 token: no bigrams -> NULLs
+        (3, "xy zz", "en"),       # 2 tokens: bigram but no trigram
+    ])
+    got = {r["doc_id"]: r for r in T.repetition_stats(spark, sf_dir).collect()}
+    assert abs(got[0]["top2gram_frac"] - 0.6) < 1e-12
+    assert abs(got[0]["dup3gram_frac"] - 0.5) < 1e-12
+    assert abs(got[1]["top2gram_frac"] - 0.25) < 1e-12
+    assert got[1]["dup3gram_frac"] == 0.0
+    assert got[2]["top2gram_frac"] is None and got[2]["dup3gram_frac"] is None
+    assert got[3]["top2gram_frac"] == 1.0 and got[3]["dup3gram_frac"] is None
