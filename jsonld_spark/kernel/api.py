@@ -69,10 +69,15 @@ def to_rdf(doc, base=None, expand_context=None, produce_generalized_rdf=False,
     )
 
 
-def flatten(doc, base=None, expand_context=None, loader=None) -> list:
+def flatten(doc, context=None, base=None, expand_context=None, loader=None):
     """Flatten to a single sorted array of node objects; named graphs
     nest under @graph of their graph-name node; nodes with only an @id
-    are pruned (reference: Processor.php:2088-2119)."""
+    are pruned (reference: Processor.php:2088-2119).
+
+    With ``context``, the flattened array is compacted against it and
+    the result is ALWAYS wrapped under (a possibly aliased) @graph —
+    even for a single node — mirroring JsonLD.php:352-367's
+    ``doCompact($flattened, ..., alwaysGraph: true)``."""
     expanded = expand(doc, base=base, expand_context=expand_context, loader=loader)
     node_map = build_node_map(expanded, BlankNodeIssuer())
     default_graph = node_map.pop("@default")
@@ -84,9 +89,15 @@ def flatten(doc, base=None, expand_context=None, loader=None) -> list:
         entry["@graph"] = [
             graph[k] for k in php_ksort_keys(graph) if len(graph[k]) > 1
         ]
-    return [
+    flattened = [
         default_graph[k] for k in php_ksort_keys(default_graph) if len(default_graph[k]) > 1
     ]
+    if context is None:
+        return flattened
+    from jsonld_spark.kernel.compaction import compact_document  # lazy: P2 module
+
+    return compact_document(flattened, _parse_input(context), base=base,
+                            always_graph=True, loader=loader)
 
 
 def compact(doc, context=None, base=None, expand_context=None, compact_arrays=True,

@@ -144,8 +144,8 @@ def test_w3c_cases_replay_on_executors(spark):
                     actual = json.dumps(got, sort_keys=True)
                     want = json.dumps(json.loads(expected), sort_keys=True)
                 elif kind == "flatten":
-                    actual = json.dumps(api.flatten(doc, base=base),
-                                        sort_keys=True)
+                    got = api.flatten(doc, context=ctx or None, base=base)
+                    actual = json.dumps(got, sort_keys=True)
                     want = json.dumps(json.loads(expected), sort_keys=True)
                 elif kind == "fromRdf":
                     got = api.from_rdf(

@@ -3428,6 +3428,86 @@ FROMRDF += [
 
 _FEX = {"ex": EX}
 
+# --- flatten(input, context): the compacting API form (JsonLD.php:352-367,
+# doCompact alwaysGraph=true — the result ALWAYS wraps under a possibly
+# aliased @graph, even for a single node / an empty result) ---------------
+
+FLATTEN += [
+    (
+        "a single flattened node still wraps in @graph under a context",
+        {"@id": EX + "a", "http://xmlns.com/foaf/0.1/name": "Alice"},
+        {"@context": {"name": "http://xmlns.com/foaf/0.1/name"},
+         "@graph": [{"@id": EX + "a", "name": "Alice"}]},
+        {"name": "http://xmlns.com/foaf/0.1/name"},
+    ),
+    (
+        "split-out embedded node compacts its reference via @type @id",
+        {"@id": EX + "a",
+         EX + "vocab#knows": {"@id": EX + "b", EX + "vocab#name": "Bob"}},
+        {"@context": {"knows": {"@id": EX + "vocab#knows", "@type": "@id"},
+                      "name": EX + "vocab#name"},
+         "@graph": [
+             {"@id": EX + "a", "knows": EX + "b"},
+             {"@id": EX + "b", "name": "Bob"}]},
+        {"knows": {"@id": EX + "vocab#knows", "@type": "@id"},
+         "name": EX + "vocab#name"},
+    ),
+    (
+        "relabeled blank node compacts its reference to the new label",
+        {"@id": EX + "a", EX + "vocab#knows": {EX + "vocab#name": "Anon"}},
+        {"@context": {"knows": {"@id": EX + "vocab#knows", "@type": "@id"},
+                      "name": EX + "vocab#name"},
+         "@graph": [
+             {"@id": "_:b0", "name": "Anon"},
+             {"@id": EX + "a", "knows": "_:b0"}]},
+        {"knows": {"@id": EX + "vocab#knows", "@type": "@id"},
+         "name": EX + "vocab#name"},
+    ),
+    (
+        "named-graph nesting and the wrapper both use the @graph alias",
+        {"@id": EX + "G",
+         "@graph": [{"@id": EX + "a", EX + "vocab#name": "X"}]},
+        {"@context": {"g": "@graph", "name": EX + "vocab#name"},
+         "g": [{"@id": EX + "G",
+                "g": [{"@id": EX + "a", "name": "X"}]}]},
+        {"g": "@graph", "name": EX + "vocab#name"},
+    ),
+    (
+        "an empty flatten result compacts to an empty @graph",
+        {"@id": EX + "only"},
+        {"@context": {"name": EX + "vocab#name"}, "@graph": []},
+        {"name": EX + "vocab#name"},
+    ),
+    (
+        "@list-container term collapses list objects after flatten",
+        {"@id": EX + "a", EX + "vocab#seq": {"@list": ["x", "y"]}},
+        {"@context": {"seq": {"@id": EX + "vocab#seq",
+                              "@container": "@list"}},
+         "@graph": [{"@id": EX + "a", "seq": ["x", "y"]}]},
+        {"seq": {"@id": EX + "vocab#seq", "@container": "@list"}},
+    ),
+    (
+        "keyword-aliased @id applies to every flattened node",
+        [{"@id": EX + "a", EX + "vocab#name": "A"},
+         {"@id": EX + "b", EX + "vocab#name": "B"}],
+        {"@context": {"id": "@id", "name": EX + "vocab#name"},
+         "@graph": [{"id": EX + "a", "name": "A"},
+                    {"id": EX + "b", "name": "B"}]},
+        {"id": "@id", "name": EX + "vocab#name"},
+    ),
+    (
+        "language map regroups after flatten",
+        {"@id": EX + "a",
+         EX + "vocab#label": [{"@value": "dog", "@language": "en"},
+                              {"@value": "Hund", "@language": "de"}]},
+        {"@context": {"label": {"@id": EX + "vocab#label",
+                                "@container": "@language"}},
+         "@graph": [{"@id": EX + "a",
+                     "label": {"de": "Hund", "en": "dog"}}]},
+        {"label": {"@id": EX + "vocab#label", "@container": "@language"}},
+    ),
+]
+
 FRAME = [
     (
         "empty frame embeds every node",
@@ -3904,6 +3984,11 @@ def main() -> None:
                 _write(os.path.join(OUT, f"{kind}/{nid}-out.jsonld"), _json(case[2]))
             else:
                 entry["expect"] = f"{kind}/{nid}-out.jsonld"
+                if kind == "flatten" and len(case) > 3 and case[3] is not None:
+                    # flatten(input, context) API form (JsonLD.php:352)
+                    entry["context"] = f"{kind}/{nid}-context.jsonld"
+                    _write(os.path.join(OUT, f"{kind}/{nid}-context.jsonld"),
+                           _json({"@context": case[3]}))
                 _write(os.path.join(OUT, f"{kind}/{nid}-in.jsonld"), _json(case[1]))
                 _write(os.path.join(OUT, f"{kind}/{nid}-out.jsonld"), _json(case[2]))
             seq.append(entry)

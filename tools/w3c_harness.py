@@ -137,7 +137,10 @@ def run_case(kind: str, entry: dict) -> dict:
     elif kind == "expand":
         actual = api.expand(doc, base=base)
     elif kind == "flatten":
-        actual = api.flatten(doc, base=base)
+        # flatten(input, context): compacts the flattened array and
+        # ALWAYS wraps it under @graph (JsonLD.php:352-367)
+        ctx = _read(entry["context"]) if "context" in entry else None
+        actual = api.flatten(doc, context=ctx, base=base)
     else:  # pragma: no cover
         raise ValueError(kind)
 
