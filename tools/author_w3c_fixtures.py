@@ -441,6 +441,72 @@ RDF_FIRST = RDF + "first"
 RDF_REST = RDF + "rest"
 RDF_NIL = RDF + "nil"
 
+# --- inverse-context tie-break + slot-claim rules (Processor.php:1820-1878:
+# uksort by sortTerms = length-then-strcmp; first sorted term claims each
+# slot; reverse terms are EXCLUDED from the iri->term slot :1847) ----------
+
+COMPACT += [
+    (
+        "equal-length terms tie-break lexicographically",
+        [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}],
+        {"tb": EX + "p", "ta": EX + "p"},
+        {"@context": {"tb": EX + "p", "ta": EX + "p"},
+         "@id": EX + "a", "ta": "v"},
+        {},
+    ),
+    (
+        "reverse terms never claim the forward term slot",
+        [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}],
+        {"r": {"@reverse": EX + "p"}, "prop": EX + "p"},
+        {"@context": {"r": {"@reverse": EX + "p"}, "prop": EX + "p"},
+         "@id": EX + "a", "prop": "v"},
+        {},
+    ),
+    (
+        "a reverse-only term leaves forward uses on the full IRI",
+        [{"@id": EX + "a", EX + "p": [{"@value": "v"}]}],
+        {"r": {"@reverse": EX + "p"}},
+        {"@context": {"r": {"@reverse": EX + "p"}},
+         "@id": EX + "a", EX + "p": "v"},
+        {},
+    ),
+    (
+        "@id-coerced terms still claim the term slot for @type values",
+        [{"@id": EX + "a", "@type": [EX + "vocab#Type"]}],
+        {"T": {"@id": EX + "vocab#Type", "@type": "@id"}},
+        {"@context": {"T": {"@id": EX + "vocab#Type", "@type": "@id"}},
+         "@id": EX + "a", "@type": "T"},
+        {},
+    ),
+    (
+        "untyped terms implicitly match the context default language",
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": "hello", "@language": "en"}]}],
+        {"@language": "en", "t": EX + "p"},
+        {"@context": {"@language": "en", "t": EX + "p"},
+         "@id": EX + "a", "t": "hello"},
+        {},
+    ),
+    (
+        "values in another language keep the object under the term",
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": "hallo", "@language": "de"}]}],
+        {"@language": "en", "t": EX + "p"},
+        {"@context": {"@language": "en", "t": EX + "p"},
+         "@id": EX + "a", "t": {"@value": "hallo", "@language": "de"}},
+        {},
+    ),
+    (
+        "@index on an uncompactable value survives through its alias",
+        [{"@id": EX + "a",
+          EX + "p": [{"@value": 5, "@index": "k"}]}],
+        {"t": EX + "p", "idx": "@index"},
+        {"@context": {"t": EX + "p", "idx": "@index"},
+         "@id": EX + "a", "t": {"@value": 5, "idx": "k"}},
+        {},
+    ),
+]
+
 TORDF = [
     (
         "plain string literal (xsd:string suppressed)",
