@@ -203,10 +203,12 @@ def kg_adjacency_suite(
     spark: SparkSession, sf_dir: str, triples: DataFrame
 ) -> DataFrame:
     """Forward adjacency summary + materialized adjacency lists +
-    REVERSE adjacency (round 5) as one union. Schema:
-    (part, subject, edges, n1, n2) — counts: n1=n_predicates,
+    REVERSE adjacency + characteristic sets (round 5) as one union.
+    Schema: (part, subject, edges, n1, n2) — counts: n1=n_predicates,
     n2=n_values; lists: edges=sorted edge list, n1=n_edges; reverse:
-    subject=pointed-at node, n1=n_in_subjects, n2=n_in_edges."""
+    subject=pointed-at node, n1=n_in_subjects, n2=n_in_edges;
+    charsets: edges=sorted predicate set, n1=n_subjects,
+    n2=n_triples."""
     from jsonld_spark.operators import kg_queries
 
     counts = kg_queries.adjacency(spark, sf_dir, triples=triples).select(
@@ -230,7 +232,16 @@ def kg_adjacency_suite(
         F.col("n_in_subjects").alias("n1"),
         F.col("n_in_edges").alias("n2"),
     )
-    return counts.unionByName(lists).unionByName(rev)
+    charsets = kg_queries.characteristic_sets(
+        spark, sf_dir, triples=triples
+    ).select(
+        F.lit("charsets").alias("part"),
+        _ns().alias("subject"),
+        F.col("charset").alias("edges"),
+        F.col("n_subjects").alias("n1"),
+        F.col("n_triples").alias("n2"),
+    )
+    return counts.unionByName(lists).unionByName(rev).unionByName(charsets)
 
 
 def kg_adjacency_suite_sql() -> str:
@@ -245,7 +256,10 @@ SELECT 'lists', subject, edges, n_edges, CAST(NULL AS BIGINT)
 FROM ({O.kg_adjacency_lists_sql()}) al
 UNION ALL
 SELECT 'reverse', node, NULL, n_in_subjects, n_in_edges
-FROM ({O.kg_reverse_adjacency_sql()}) ar"""
+FROM ({O.kg_reverse_adjacency_sql()}) ar
+UNION ALL
+SELECT 'charsets', NULL, charset, n_subjects, n_triples
+FROM ({O.kg_characteristic_sets_sql()}) cs"""
 
 
 # --- bounded + unbounded chain closures (2 -> 1) ---------------------------

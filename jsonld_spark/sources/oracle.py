@@ -552,6 +552,21 @@ FROM triples GROUP BY subject"""
     )
 
 
+def kg_characteristic_sets_sql() -> str:
+    return (
+        base_ctes()
+        + f"""
+, triples AS ({triples_select()}),
+per_subj AS (
+  SELECT subject,
+         array_to_string(list_sort(list(DISTINCT predicate)), '|') AS charset,
+         count(*) AS n
+  FROM triples GROUP BY subject)
+SELECT charset, count(*) AS n_subjects, CAST(sum(n) AS BIGINT) AS n_triples
+FROM per_subj GROUP BY charset"""
+    )
+
+
 def kg_reverse_adjacency_sql() -> str:
     return (
         base_ctes()

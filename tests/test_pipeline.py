@@ -423,3 +423,29 @@ def test_multimodal_byte_exact_on_non_ascii_and_null(spark):
         assets, decoder=multimodal.deterministic_fake_decoder).collect()}
     assert decoded[0]["n_bytes"] == len(data)
     assert decoded[1]["n_bytes"] is None and decoded[1]["width"] is None
+
+
+def test_characteristic_sets_planted(spark):
+    """Neumann-Moerkotte characteristic sets over a planted triple
+    table: subjects group by their DISTINCT sorted predicate set,
+    n_triples counts every triple (including repeated predicates)."""
+    from jsonld_spark.operators import kg_queries
+
+    rows = [
+        ("s1", "p", "lit", "a", None, None),
+        ("s1", "q", "lit", "b", None, None),
+        ("s2", "q", "lit", "c", None, None),
+        ("s2", "p", "lit", "d", None, None),
+        ("s2", "p", "lit", "e", None, None),  # repeated predicate
+        ("s3", "p", "lit", "f", None, None),
+    ]
+    tri = spark.createDataFrame(
+        rows,
+        "subject string, predicate string, obj_kind string, "
+        "obj_value string, obj_type string, obj_lang string",
+    )
+    got = {
+        r["charset"]: (r["n_subjects"], r["n_triples"])
+        for r in kg_queries.characteristic_sets(spark, "", triples=tri).collect()
+    }
+    assert got == {"p|q": (2, 5), "p": (1, 1)}
