@@ -156,3 +156,41 @@ s AS (
 SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end
 FROM s GROUP BY user_id, session_idx"""
+
+
+STRATIFIED_K = 5
+
+
+def stratified_sample(
+    spark: SparkSession, sf_dir: str, group: str = "source",
+    k: int = STRATIFIED_K,
+) -> DataFrame:
+    """Deterministic per-stratum uniform sample of the documents
+    corpus: keep the ``k`` rows with the smallest md5(doc_id) per
+    ``group`` — bottom-k hash sampling (the KMV construction read as
+    a sampler). Hash order is uniform-pseudorandom yet reproducible
+    across engines and runs, so a training pipeline gets a stable
+    per-source sample with no RNG state. Scale shape: one window
+    partitioned by the stratum; samples merge by union + re-cut,
+    i.e. bottom-k is a partial aggregate at 100 TB.
+
+    Output: (group, doc_id, hash_rank, sample_tag)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tag = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy(group).orderBy(tag, "doc_id")
+    return (
+        docs.select(F.col(group), "doc_id", tag.alias("sample_tag"))
+        .withColumn("hash_rank", F.row_number().over(w))
+        .where(F.col("hash_rank") <= k)
+    )
+
+
+def stratified_sample_sql(group: str = "source", k: int = STRATIFIED_K) -> str:
+    return f"""
+SELECT {group}, doc_id, sample_tag, hash_rank FROM (
+  SELECT {group}, doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_tag,
+         row_number() OVER (PARTITION BY {group}
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS hash_rank
+  FROM documents) s
+WHERE hash_rank <= {k}"""

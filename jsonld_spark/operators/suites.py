@@ -39,10 +39,11 @@ def _nl():
 # --- relational operator anchors (4 -> 1) ----------------------------------
 
 def rel_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The four TPC-style relational anchors as one union:
-    pricing (agg), top_orders (3-way join + top-N), no_recent_orders
-    (anti-join), sessions (window sessionization). Schema:
-    (part, k1, k2, k3, v1, v2, v3, cnt)."""
+    """The four TPC-style relational anchors + the deterministic
+    stratified sampler as one union: pricing (agg), top_orders (3-way
+    join + top-N), no_recent_orders (anti-join), sessions (window
+    sessionization), sample (bottom-k hash sampling per stratum).
+    Schema: (part, k1, k2, k3, v1, v2, v3, cnt)."""
     from jsonld_spark.operators import relational
 
     p = relational.pricing_summary(spark, sf_dir).select(
@@ -89,7 +90,17 @@ def rel_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v3"),
         F.col("n_events").alias("cnt"),
     )
-    return p.unionByName(t).unionByName(c).unionByName(s)
+    sam = relational.stratified_sample(spark, sf_dir).select(
+        F.lit("sample").alias("part"),
+        F.col("source").alias("k1"),
+        F.col("doc_id").cast("string").alias("k2"),
+        F.col("sample_tag").alias("k3"),
+        _nd().alias("v1"),
+        _nd().alias("v2"),
+        _nd().alias("v3"),
+        F.col("hash_rank").cast("long").alias("cnt"),
+    )
+    return p.unionByName(t).unionByName(c).unionByName(s).unionByName(sam)
 
 
 def rel_suite_sql() -> str:
@@ -115,7 +126,11 @@ SELECT 'sessions', CAST(user_id AS VARCHAR), CAST(session_idx AS VARCHAR),
        strftime(session_start, '{_TS_FMT_SQL}') || '|' ||
          strftime(session_end, '{_TS_FMT_SQL}'),
        NULL, NULL, NULL, n_events
-FROM ({relational.event_sessions_sql()}) es"""
+FROM ({relational.event_sessions_sql()}) es
+UNION ALL
+SELECT 'sample', source, CAST(doc_id AS VARCHAR), sample_tag,
+       NULL, NULL, NULL, CAST(hash_rank AS BIGINT)
+FROM ({relational.stratified_sample_sql()}) sm"""
 
 
 # --- multimodal transform stages (2 -> 1) ----------------------------------

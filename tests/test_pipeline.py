@@ -449,3 +449,49 @@ def test_characteristic_sets_planted(spark):
         for r in kg_queries.characteristic_sets(spark, "", triples=tri).collect()
     }
     assert got == {"p|q": (2, 5), "p": (1, 1)}
+
+
+def test_stratified_sample_is_deterministic_and_mergeable(spark):
+    """Bottom-k hash sampling: same sample under any partitioning, k
+    rows per stratum, and bottom-k of a union equals the re-cut of
+    per-partition bottom-k's (the partial-aggregate property)."""
+    from jsonld_spark.operators import relational
+
+    sf = "/root/testdata/sf0.001"
+    a = relational.stratified_sample(spark, sf).collect()
+    key = lambda r: (r["source"], r["hash_rank"])
+    got = {key(r): r["doc_id"] for r in a}
+
+    # per-stratum size == k (every sf0.001 source has >= k docs)
+    from collections import Counter
+    per = Counter(r["source"] for r in a)
+    assert all(v == relational.STRATIFIED_K for v in per.values()), per
+
+    # independent recompute under a different shuffle layout
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        b = relational.stratified_sample(spark, sf).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert {key(r): r["doc_id"] for r in b} == got
+
+    # merge property: bottom-k over doc halves, unioned and re-cut,
+    # equals the global bottom-k
+    import hashlib
+    import duckdb
+    rows = duckdb.sql(
+        f"SELECT source, doc_id FROM '{sf}/documents.parquet'").fetchall()
+    half = {}
+    for source, doc_id in rows:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        half.setdefault((source, doc_id % 2), []).append((h, doc_id))
+    merged = {}
+    for (source, _), items in half.items():
+        items.sort()
+        merged.setdefault(source, []).extend(items[: relational.STRATIFIED_K])
+    expect = {}
+    for source, items in merged.items():
+        items.sort()
+        for rank, (_, doc_id) in enumerate(items[: relational.STRATIFIED_K], 1):
+            expect[(source, rank)] = doc_id
+    assert expect == got
