@@ -663,6 +663,44 @@ TORDF = [
 # fromRdf tests: (name, nquads-lines, expected, options)
 # --------------------------------------------------------------------------
 
+# --- Value.php boundary quirks (fromJsonLd :83-112) ------------------------
+
+TORDF += [
+    (
+        # sprintf('%1.15E', 1e15) = "1.000000000000000E+15" carries 15
+        # zeros; the strip regex eats AT MOST 14 ("0{0,14}"), so one
+        # survives: "1.0E15" (not "1.E15")
+        "zero-strip regex stops at 14 zeros (1e15 boundary)",
+        {"@id": EX + "n",
+         EX + "p": {"@value": 1000000000000000.0, "@type": XSD + "double"}},
+        [f'<{EX}n> <{EX}p> "1.0E15"^^<{XSD}double> .'],
+        {},
+    ),
+    (
+        # a non-integral value with an explicit xsd:integer type takes
+        # the DOUBLE lexical path (value != (int)value) but keeps the
+        # integer datatype - @type gets precedence (bug-compat)
+        "non-integral xsd:integer value gets a double lexical",
+        {"@id": EX + "n",
+         EX + "p": {"@value": 4.5, "@type": XSD + "integer"}},
+        [f'<{EX}n> <{EX}p> "4.5E0"^^<{XSD}integer> .'],
+        {},
+    ),
+    (
+        # member bnodes relabel during node-map generation (_:b0, _:b1);
+        # the chain bnodes continue the same issuer (_:b2, _:b3)
+        "blank node members chain through fresh list bnodes",
+        {"@id": EX + "a",
+         EX + "p": {"@list": [{"@id": "_:m0"}, {"@id": "_:m1"}]}},
+        [f'<{EX}a> <{EX}p> _:b2 .',
+         f'_:b2 <{RDF_FIRST}> _:b0 .',
+         f'_:b2 <{RDF_REST}> _:b3 .',
+         f'_:b3 <{RDF_FIRST}> _:b1 .',
+         f'_:b3 <{RDF_REST}> <{RDF_NIL}> .'],
+        {},
+    ),
+]
+
 FROMRDF = [
     (
         "plain literal",
@@ -738,6 +776,43 @@ FROMRDF = [
 # --------------------------------------------------------------------------
 
 CTX = "https://ctx.example.org/"
+
+# --- nil-object and cycle edges of the list walk (Processor.php:2395-2462:
+# EVERY rdf:nil object value becomes {"@list": []} via the usage rewrite;
+# a nil reached through rdf:first "continue"s untouched; no-nil cycles
+# never enter createListObjects at all) ------------------------------------
+
+FROMRDF += [
+    (
+        "rdf:nil as a plain object becomes an empty @list",
+        [f'<{EX}a> <{EX}p> <{RDF_NIL}> .'],
+        [{"@id": EX + "a", EX + "p": [{"@list": []}]}],
+        {},
+    ),
+    (
+        "rdf:rest self-cycle without nil survives as plain nodes",
+        [f'_:b0 <{RDF_FIRST}> "x" .',
+         f'_:b0 <{RDF_REST}> _:b0 .',
+         f'<{EX}s> <{EX}p> _:b0 .'],
+        [{"@id": "_:b0",
+          RDF_FIRST: [{"@value": "x"}],
+          RDF_REST: [{"@id": "_:b0"}]},
+         {"@id": EX + "s", EX + "p": [{"@id": "_:b0"}]}],
+        {},
+    ),
+    (
+        # the (b0, rdf:first, nil) usage hits the RDF_FIRST "continue"
+        # and stays a reference; the (b0, rdf:rest, nil) usage then
+        # walks b0 into a one-member list containing that reference
+        "a list member that is rdf:nil stays a node reference",
+        [f'_:b0 <{RDF_FIRST}> <{RDF_NIL}> .',
+         f'_:b0 <{RDF_REST}> <{RDF_NIL}> .',
+         f'<{EX}s> <{EX}p> _:b0 .'],
+        [{"@id": EX + "s",
+          EX + "p": [{"@list": [{"@id": RDF_NIL}]}]}],
+        {},
+    ),
+]
 
 REMOTE = [
     (
