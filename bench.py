@@ -53,7 +53,12 @@ HEADLINE = [
     # dedup_simhash_pairs entry (which already computed the values)
     "dedup_simhash_suite",
     "sim_lsh_ann_topk",
+    # r5 (late): token+quality+repetition metrics as one wide per-doc
+    # row (supersedes r4's text_quality entry — strictly more work)
     "text_stats_suite",
+    # r5 (late): CCNet-style corpus-frequency boilerplate removal over
+    # transcript turns — new operator family this round
+    "text_boilerplate",
     # r5: the rel_* family is one union suite (registry consolidation,
     # VERDICT r4 #1) — strictly MORE work than r4's rel_pricing_summary
     # (pricing + top-N join + anti-join + sessionization), so compare
