@@ -657,19 +657,30 @@ def boilerplate_suite(
 
     turns = transcript_corpus(spark, sf_dir)
     boiler = scratch.track(boilerplate_frequency(turns, frac))
-    kept = remove_boilerplate(turns, boiler)
-    dropped = turns.join(F.broadcast(boiler.select("text")), "text", "left_semi")
 
-    def role_summary(df: DataFrame, tag: str) -> DataFrame:
-        return df.groupBy("role").agg(
+    # ONE pass over the turns side for both summaries: broadcast-flag
+    # each turn instead of separate anti + semi joins (halves the scan
+    # and aggregation work; the boilerplate set stays broadcast)
+    flagged = turns.join(
+        F.broadcast(boiler.select("text", F.lit(True).alias("_b"))),
+        "text",
+        "left",
+    )
+    summary = (
+        flagged.groupBy("role", F.coalesce("_b", F.lit(False)).alias("is_b"))
+        .agg(
             F.count_distinct("conv_id").alias("n_convs"),
             F.count("*").alias("n_turns"),
-        ).select(
-            F.lit(tag).alias("part"),
+        )
+        .select(
+            F.when(F.col("is_b"), F.lit("drop_role"))
+            .otherwise(F.lit("kept_role"))
+            .alias("part"),
             F.col("role").alias("key"),
             "n_convs",
             "n_turns",
         )
+    )
 
     head = boiler.select(
         F.lit("boiler").alias("part"),
@@ -677,9 +688,7 @@ def boilerplate_suite(
         "n_convs",
         "n_turns",
     )
-    return head.unionByName(role_summary(kept, "kept_role")).unionByName(
-        role_summary(dropped, "drop_role")
-    )
+    return head.unionByName(summary)
 
 
 def boilerplate_suite_sql(frac: float = BOILER_FRAC) -> str:
