@@ -4037,6 +4037,49 @@ FRAME = [
 ]
 
 
+# --- top-level framing-option edges (Processor.php:2490-2501 extraction:
+# keywords copied AS-IS with no type check; @omitDefault is commented out
+# of $framingKeywords :42-44 so it expands away like any non-keyword) -----
+
+FRAME += [
+    (
+        "unsupported @omitDefault drops in frame expansion",
+        [{"@id": EX + "a", EX + "p": [{"@value": "v"}]},
+         {"@id": EX + "b", EX + "q": [{"@value": "z"}]}],
+        {"@omitDefault": True, EX + "p": {"@default": "d"}},
+        {"@graph": [
+            {"@id": EX + "a", EX + "p": "v"},
+            {"@id": EX + "b", EX + "p": "d", EX + "q": "z"}]},
+    ),
+    (
+        "a top-level @default is extracted and ignored",
+        [{"@id": EX + "a", EX + "p": [{"@value": "v"}]},
+         {"@id": EX + "b", EX + "q": [{"@value": "z"}]}],
+        {"@default": "ignored", EX + "p": {}},
+        {"@graph": [{"@id": EX + "a", EX + "p": "v"}]},
+    ),
+    (
+        # strict ===: 'true' !== true, so the wildcard branch treats a
+        # string @embed as embed-off ...
+        "string @embed is not boolean true: wildcard yields references",
+        [{"@id": EX + "a", EX + "p": [{"@value": "v"}]},
+         {"@id": EX + "b", EX + "q": [{"@value": "z"}]}],
+        {"@embed": "true"},
+        {"@graph": [{"@id": EX + "a"}, {"@id": EX + "b"}]},
+    ),
+    (
+        # ... while the filtered branch checks 'false === @embed', so
+        # the same string @embed is ALSO not embed-off there (asymmetric
+        # bug-compat of the two strict comparisons)
+        "string @embed is not boolean false: filtered match embeds",
+        [{"@id": EX + "a", EX + "p": [{"@value": "v"}],
+          EX + "q": [{"@value": "w"}]}],
+        {"@embed": "true", EX + "p": {}},
+        {"@graph": [{"@id": EX + "a", EX + "p": "v", EX + "q": "w"}]},
+    ),
+]
+
+
 def _write(path: str, text: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w", encoding="utf-8") as fh:
