@@ -77,7 +77,12 @@ def flatten(doc, context=None, base=None, expand_context=None, loader=None):
     With ``context``, the flattened array is compacted against it and
     the result is ALWAYS wrapped under (a possibly aliased) @graph —
     even for a single node — mirroring JsonLD.php:352-367's
-    ``doCompact($flattened, ..., alwaysGraph: true)``."""
+    ``doCompact($flattened, ..., alwaysGraph: true)``.
+
+    NOTE: since the context form landed, the positional order mirrors
+    the reference's ``flatten($input, $context, $options)`` — callers
+    that previously passed ``base`` as the second positional argument
+    must switch to ``base=...`` (all in-repo callers use keywords)."""
     expanded = expand(doc, base=base, expand_context=expand_context, loader=loader)
     node_map = build_node_map(expanded, BlankNodeIssuer())
     default_graph = node_map.pop("@default")

@@ -53,24 +53,32 @@ def _mention_surface(event_id, j: int):
 def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> transcripts, fully JVM-side and deterministic."""
     ev = read_table(spark, sf_dir, "events")
-    eid = F.col("event_id")
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    text = _text_expr()
 
     return ev.select(
-        F.concat(F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 8, "0")).alias(
-            "conv_id"
-        ),
+        _conv_id_expr().alias("conv_id"),
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
-        F.element_at(
-            F.array(*[F.lit(r) for r in ROLES]), (eid % 4 + 1).cast("int")
-        ).alias("role"),
-        text.alias("text"),
+        _role_expr().alias("role"),
+        _text_expr().alias("text"),
         F.when(
             F.col("event_type").isin(TOOL_EVENT_TYPES), F.col("event_type")
         ).alias("tool"),
         F.col("ts"),
+    )
+
+
+def _conv_id_expr():
+    """The conversation-id column expression (user_id-derived)."""
+    return F.concat(
+        F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 8, "0")
+    )
+
+
+def _role_expr():
+    """The role column expression (event_id-derived)."""
+    return F.element_at(
+        F.array(*[F.lit(r) for r in ROLES]), (F.col("event_id") % 4 + 1).cast("int")
     )
 
 
@@ -104,14 +112,9 @@ def transcript_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs turn ordering, so at 100 TB this is a pure narrow scan-side
     projection with zero shuffle before the consumer's aggregation."""
     ev = read_table(spark, sf_dir, "events")
-    eid = F.col("event_id")
     return ev.select(
-        F.concat(F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 8, "0")).alias(
-            "conv_id"
-        ),
-        F.element_at(
-            F.array(*[F.lit(r) for r in ROLES]), (eid % 4 + 1).cast("int")
-        ).alias("role"),
+        _conv_id_expr().alias("conv_id"),
+        _role_expr().alias("role"),
         _text_expr().alias("text"),
     )
 

@@ -468,11 +468,12 @@ def test_stratified_sample_is_deterministic_and_mergeable(spark):
     assert all(v == relational.STRATIFIED_K for v in per.values()), per
 
     # independent recompute under a different shuffle layout
+    old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "7")
     try:
         b = relational.stratified_sample(spark, sf).collect()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     assert {key(r): r["doc_id"] for r in b} == got
 
     # merge property: bottom-k over doc halves, unioned and re-cut,
