@@ -438,7 +438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "http://kg.example/vocab#tool",
         ),
         # --- training-data pipeline: dedup ---
-        "dedup_exact": dedup.exact_duplicates,
+        # exact-hash groups + LSH-pair connected-component canonical
+        # assignment (the end-to-end "which docs survive" decision)
+        "dedup_cluster_suite": suites.dedup_cluster_suite,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         # per-doc simhash values + Manku-blocked near pairs, one suite
@@ -563,7 +565,7 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "kg_frame_tool_default": O.kg_frame_tool_default_sql(TOOL_DEFAULT),
-        "dedup_exact": dedup.exact_duplicates_sql(),
+        "dedup_cluster_suite": suites.dedup_cluster_suite_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),
         "dedup_simhash_suite": suites.dedup_simhash_suite_sql(),

@@ -303,6 +303,74 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {threshold}"""
 
 
+# --- near-dup clustering (pairs -> components -> canonical doc) ------------
+
+def lsh_dup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """End-to-end near-duplicate CLUSTERING: verified LSH pairs ->
+    connected components -> one canonical doc per cluster — the
+    "which docs survive dedup" decision production pipelines actually
+    execute after pair generation (a doc chain a~b, b~c must drop two
+    docs even though (a, c) was never a candidate pair).
+
+    Returns (doc_id, canonical_doc, cluster_size, is_duplicate) for
+    every doc in >=1 verified near-dup pair; docs outside any pair are
+    implicitly canonical singletons and are not materialized (at 100 TB
+    the pair graph is sublinear in the corpus — only near-dup members
+    appear — so the component state stays small relative to the input).
+    Pointer-jumping components give O(log D) rounds on chain-shaped dup
+    families. ``pairs``: inject a prebuilt (doc_a, doc_b) pair set
+    (tests / callers that already ran pair generation).
+    """
+    from jsonld_spark.operators.components import connected_components
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(spark, sf_dir, threshold)
+    p = pairs.select("doc_a", "doc_b")
+    edges = p.select(
+        F.lit(0).alias("key"), F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    nodes = (
+        p.select(F.col("doc_a").alias("node"))
+        .unionAll(p.select(F.col("doc_b").alias("node")))
+        .distinct()
+        .select(F.lit(0).alias("key"), "node")
+    )
+    labels = connected_components(nodes, edges)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("canonical_doc"),
+        "cluster_size",
+        (F.col("node") != F.col("label")).alias("is_duplicate"),
+    )
+
+
+def lsh_dup_clusters_sql(threshold: float = JACCARD_THRESHOLD) -> str:
+    """Oracle: exact transitive closure (recursive CTE, UNION-deduped)
+    over the exact >=threshold Jaccard pair set; canonical = MIN doc of
+    the reachable set — algorithmically independent of the Spark side's
+    pointer jumping."""
+    return f"""
+WITH RECURSIVE pairs AS ({minhash_lsh_pairs_sql(threshold)}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM e),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+lab AS (SELECT n AS doc_id, MIN(m) AS canonical FROM reach GROUP BY n),
+sz AS (SELECT canonical, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+SELECT doc_id, canonical AS canonical_doc, cluster_size,
+       doc_id <> canonical AS is_duplicate
+FROM lab JOIN sz USING (canonical)"""
+
+
 # --- simhash ---------------------------------------------------------------
 
 def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -639,6 +639,57 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
 
 
+KCORE_K = 4
+KCORE_ROUNDS = 6
+
+
+def kcore_nodes(
+    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """(node, core_deg): the k-core of the UNDIRECTED graph underlying
+    ``edges`` — the maximal subgraph where every node keeps degree
+    >= k — via ``rounds`` peel iterations (Matula & Beck's algorithm
+    under a FIXED round budget: peeling is idempotent at the fixpoint,
+    so extra rounds are no-ops and both engines can run the identical
+    unrolled plan with no driver-side convergence actions; pytest pins
+    that the corpus converges well inside the budget, and callers with
+    deeper peel cascades raise ``rounds``).
+
+    Scale shape: each round is one total-degree aggregation (map-side
+    partial) plus two semi-joins of the live edge set against the
+    surviving-node set — cost proportional to the still-live subgraph,
+    which shrinks monotonically. Each round's survivor set references
+    the live set ~5× (degree union twice, semi-join keep twice, join
+    left side once), so unlike the PageRank recurrence (linear lineage,
+    cadence-8 checkpoints) the plan tree grows EXPONENTIALLY per round
+    — plan printing alone OOMs the driver by round 6. The live table is
+    therefore localCheckpoint()ed every round, same as the
+    pointer-jumping loop in components.py (at cluster scale these
+    become reliable df.checkpoint()s).
+    """
+    live = edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    for _ in range(rounds):
+        live = live.localCheckpoint()
+        deg = (
+            live.select(F.col("u").alias("node"))
+            .unionAll(live.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("node")
+        live = live.join(keep.withColumnRenamed("node", "u"), "u", "left_semi").join(
+            keep.withColumnRenamed("node", "v"), "v", "left_semi"
+        )
+    return (
+        live.select(F.col("u").alias("node"))
+        .unionAll(live.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("core_deg"))
+    )
+
+
 def khop_distances(
     edges: DataFrame, seeds: DataFrame, k: int = KHOP_DEFAULT_K, reverse: bool = True
 ) -> DataFrame:

@@ -212,18 +212,59 @@ SELECT 'pairs', doc_a, doc_b, CAST(hamming AS BIGINT)
 FROM ({dedup.simhash_near_pairs_sql()}) sp"""
 
 
+# --- exact dedup + near-dup clustering (round 5 late) -----------------------
+
+def dedup_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-hash duplicate groups + LSH near-dup CLUSTER canonical
+    assignment as one union — together the full "which docs survive
+    dedup" decision. Schema: (part, doc_id, ref, n1, is_duplicate) —
+    exact: ref=text_hash, n1=group_size; cluster: ref=canonical doc id
+    (as string), n1=cluster_size."""
+    from jsonld_spark.operators import dedup
+
+    exact = dedup.exact_duplicates(spark, sf_dir).select(
+        F.lit("exact").alias("part"),
+        "doc_id",
+        F.col("text_hash").alias("ref"),
+        F.col("group_size").cast("long").alias("n1"),
+        "is_duplicate",
+    )
+    clus = dedup.lsh_dup_clusters(spark, sf_dir).select(
+        F.lit("cluster").alias("part"),
+        "doc_id",
+        F.col("canonical_doc").cast("string").alias("ref"),
+        F.col("cluster_size").cast("long").alias("n1"),
+        "is_duplicate",
+    )
+    return exact.unionByName(clus)
+
+
+def dedup_cluster_suite_sql() -> str:
+    from jsonld_spark.operators import dedup
+
+    return f"""
+SELECT 'exact' AS part, doc_id, text_hash AS ref,
+       CAST(group_size AS BIGINT) AS n1, is_duplicate
+FROM ({dedup.exact_duplicates_sql()}) e
+UNION ALL
+SELECT 'cluster', doc_id, CAST(canonical_doc AS VARCHAR),
+       CAST(cluster_size AS BIGINT), is_duplicate
+FROM ({dedup.lsh_dup_clusters_sql()}) c"""
+
+
 # --- adjacency counts + lists (2 -> 1) -------------------------------------
 
 def kg_adjacency_suite(
     spark: SparkSession, sf_dir: str, triples: DataFrame
 ) -> DataFrame:
     """Forward adjacency summary + materialized adjacency lists +
-    REVERSE adjacency + characteristic sets (round 5) as one union.
-    Schema: (part, subject, edges, n1, n2) — counts: n1=n_predicates,
-    n2=n_values; lists: edges=sorted edge list, n1=n_edges; reverse:
-    subject=pointed-at node, n1=n_in_subjects, n2=n_in_edges;
-    charsets: edges=sorted predicate set, n1=n_subjects,
-    n2=n_triples."""
+    REVERSE adjacency + characteristic sets + k-core (round 5) as one
+    union. Schema: (part, subject, edges, n1, n2) — counts:
+    n1=n_predicates, n2=n_values; lists: edges=sorted edge list,
+    n1=n_edges; reverse: subject=pointed-at node, n1=n_in_subjects,
+    n2=n_in_edges; charsets: edges=sorted predicate set,
+    n1=n_subjects, n2=n_triples; kcore: subject=core member,
+    n1=in-core degree, n2=k."""
     from jsonld_spark.operators import kg_queries
 
     counts = kg_queries.adjacency(spark, sf_dir, triples=triples).select(
@@ -256,7 +297,21 @@ def kg_adjacency_suite(
         F.col("n_subjects").alias("n1"),
         F.col("n_triples").alias("n2"),
     )
-    return counts.unionByName(lists).unionByName(rev).unionByName(charsets)
+    from jsonld_spark.operators import graph
+
+    kcore = graph.kcore_nodes(graph.iri_edges(triples)).select(
+        F.lit("kcore").alias("part"),
+        F.col("node").alias("subject"),
+        _ns().alias("edges"),
+        F.col("core_deg").alias("n1"),
+        F.lit(graph.KCORE_K).cast("long").alias("n2"),
+    )
+    return (
+        counts.unionByName(lists)
+        .unionByName(rev)
+        .unionByName(charsets)
+        .unionByName(kcore)
+    )
 
 
 def kg_adjacency_suite_sql() -> str:
@@ -274,7 +329,10 @@ SELECT 'reverse', node, NULL, n_in_subjects, n_in_edges
 FROM ({O.kg_reverse_adjacency_sql()}) ar
 UNION ALL
 SELECT 'charsets', NULL, charset, n_subjects, n_triples
-FROM ({O.kg_characteristic_sets_sql()}) cs"""
+FROM ({O.kg_characteristic_sets_sql()}) cs
+UNION ALL
+SELECT 'kcore', node, NULL, core_deg, CAST(4 AS BIGINT)
+FROM ({O.kg_kcore_sql()}) kc"""
 
 
 # --- bounded + unbounded chain closures (2 -> 1) ---------------------------

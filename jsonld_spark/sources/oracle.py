@@ -567,6 +567,36 @@ FROM per_subj GROUP BY charset"""
     )
 
 
+def kg_kcore_sql(k: int = 4, rounds: int = 6) -> str:
+    """Unrolled peel rounds (mirrors graph.kcore_nodes' fixed budget;
+    peeling is idempotent at the fixpoint so the identical round count
+    yields the identical result)."""
+    ctes = [
+        "live0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+        "GREATEST(src, dst) AS v FROM edges)"
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""keep{r} AS MATERIALIZED (
+  SELECT node FROM (SELECT u AS node FROM live{r} UNION ALL SELECT v FROM live{r})
+  GROUP BY node HAVING count(*) >= {k})"""
+        )
+        ctes.append(
+            f"""live{r + 1} AS MATERIALIZED (
+  SELECT u, v FROM live{r}
+  WHERE u IN (SELECT node FROM keep{r}) AND v IN (SELECT node FROM keep{r}))"""
+        )
+    return (
+        _graph_edges_ctes()
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, count(*) AS core_deg
+FROM (SELECT u AS node FROM live{rounds} UNION ALL SELECT v FROM live{rounds})
+GROUP BY node"""
+    )
+
+
 def kg_reverse_adjacency_sql() -> str:
     return (
         base_ctes()

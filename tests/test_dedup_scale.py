@@ -180,3 +180,20 @@ def test_simhash_drops_zero_token_documents(spark, tmp_path):
     sf_dir = _write_documents(spark, tmp_path, ["alpha beta gamma", None])
     got = {r["doc_id"] for r in dedup.simhash_values(spark, sf_dir).collect()}
     assert got == {0}
+
+
+def test_lsh_dup_clusters_transitive_closure(spark):
+    """Clustering must close over CHAINS: a~b and b~c put (a, b, c) in
+    ONE cluster with canonical=min even though (a, c) was never a pair,
+    and disconnected pairs stay separate clusters."""
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_id"], r["canonical_doc"], r["cluster_size"], r["is_duplicate"])
+        for r in dedup.lsh_dup_clusters(spark, "unused", pairs=pairs).collect()
+    }
+    assert got == {
+        (1, 1, 3, False), (5, 1, 3, True), (9, 1, 3, True),
+        (20, 20, 2, False), (21, 20, 2, True),
+    }

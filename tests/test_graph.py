@@ -431,3 +431,52 @@ def test_ppr_with_prebuilt_esrc_is_identical(spark):
     assert via == base and base
     resrc.unpersist()
     edges.unpersist()
+
+
+def _naive_kcore(edges, k: int) -> dict[str, int]:
+    """Peel to the true fixpoint; return {node: in-core degree}."""
+    und = {tuple(sorted(e)) for e in edges}
+    while True:
+        deg: dict[str, int] = {}
+        for u, v in und:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            return deg
+        und = {(u, v) for u, v in und if u not in drop and v not in drop}
+
+
+def test_kcore_random_graphs(spark):
+    """kcore_nodes under the default round budget matches the true
+    peel fixpoint on random graphs dense enough to converge within it,
+    and one extra round is a no-op (peeling idempotence — the property
+    the fixed-budget oracle unrolling relies on)."""
+    from jsonld_spark.operators.graph import KCORE_ROUNDS, kcore_nodes
+
+    rng = random.Random(507)
+    for n, m, k in [(18, 50, 3), (25, 90, 4), (30, 60, 2), (14, 20, 4)]:
+        edges = _random_edges(rng, n, m)
+        want = _naive_kcore(edges, k)
+        got = {
+            (r["node"], r["core_deg"])
+            for r in kcore_nodes(_edges_df(spark, edges), k=k).collect()
+        }
+        assert got == set(want.items()), (n, m, k)
+        again = {
+            (r["node"], r["core_deg"])
+            for r in kcore_nodes(
+                _edges_df(spark, edges), k=k, rounds=KCORE_ROUNDS + 1
+            ).collect()
+        }
+        assert again == got, (n, m, k)
+
+
+def test_kcore_empty_and_subcritical(spark):
+    """A graph whose max degree is below k peels to nothing."""
+    from jsonld_spark.operators.graph import kcore_nodes
+
+    chain = [(f"c{i}", f"c{i+1}") for i in range(6)]
+    assert kcore_nodes(_edges_df(spark, chain), k=3).count() == 0
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert kcore_nodes(empty, k=2).count() == 0
