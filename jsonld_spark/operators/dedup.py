@@ -523,3 +523,84 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+DECONTAM_N = 13          # gram length (the GPT-3/PaLM 13-gram convention)
+DECONTAM_MOD = 40        # docs with doc_id % MOD == OFFSET seed the eval set
+DECONTAM_OFFSET = 7
+DECONTAM_SKIP = 3        # benchmark snippet starts at token SKIP+1
+DECONTAM_SNIPPET = 20    # snippet length in tokens (shingles into 8 grams)
+
+
+def benchmark_snippets(docs: DataFrame, mod: int = DECONTAM_MOD,
+                       offset: int = DECONTAM_OFFSET) -> DataFrame:
+    """Deterministic stand-in for an eval/benchmark set: a mid-document
+    20-token snippet from every ``mod``-th document. Real pipelines load
+    the eval suites here; the fixture makes contamination *planted and
+    provable* — each seed document is contaminated by its own snippet,
+    as is any near-duplicate sharing that span.
+
+    Output: (bench_id, text) — text is the lowercased snippet."""
+    toks = _tokens_expr()
+    need = DECONTAM_SKIP + DECONTAM_SNIPPET
+    return docs.where(
+        (F.col("doc_id") % mod == offset) & (F.size(toks) >= need)
+    ).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(toks, DECONTAM_SKIP + 1, DECONTAM_SNIPPET)).alias("text"),
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str,
+                  n: int = DECONTAM_N) -> DataFrame:
+    """Training-set decontamination: flag every document sharing at
+    least one word-``n``-gram with a benchmark/eval item (the GPT-3 /
+    PaLM decontamination rule; Brown et al. 2020 §C).
+
+    Scale shape: the benchmark side is small by nature (eval suites are
+    ~10^4-10^6 grams) so it is BROADCAST; the training side explodes
+    into n-grams map-side and the broadcast hash join filters them
+    before anything shuffles. The only shuffle is the final per-doc
+    aggregate over the (rare) contaminated rows — at 100 TB the join
+    output is tiny even though its input is every training gram.
+
+    Output: (doc_id, n_hit_grams, n_bench_hits, first_bench) — one row
+    per CONTAMINATED document."""
+    docs = read_table(spark, sf_dir, "documents")
+    bench_grams = (
+        with_shingles(benchmark_snippets(docs), n)
+        .select("bench_id", F.explode("shingles").alias("gram"))
+    )
+    train_grams = (
+        with_shingles(docs, n)
+        .select("doc_id", F.explode("shingles").alias("gram"))
+    )
+    return (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_hit_grams"),
+            F.countDistinct("bench_id").alias("n_bench_hits"),
+            F.min("bench_id").alias("first_bench"),
+        )
+    )
+
+
+def decontaminate_sql(n: int = DECONTAM_N) -> str:
+    need = DECONTAM_SKIP + DECONTAM_SNIPPET
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+bsnip AS (
+  SELECT doc_id AS bench_id,
+         list_slice(toks, {DECONTAM_SKIP + 1}, {DECONTAM_SKIP + DECONTAM_SNIPPET}) AS toks
+  FROM tok
+  WHERE doc_id % {DECONTAM_MOD} = {DECONTAM_OFFSET} AND len(toks) >= {need}),
+bg AS (SELECT bench_id, unnest({_shingles_sql(n)}) AS gram FROM bsnip),
+tg AS (SELECT doc_id, unnest({_shingles_sql(n)}) AS gram FROM tok)
+SELECT doc_id, COUNT(DISTINCT gram) AS n_hit_grams,
+       COUNT(DISTINCT bench_id) AS n_bench_hits,
+       MIN(bench_id) AS first_bench
+FROM tg JOIN bg USING (gram)
+GROUP BY doc_id"""

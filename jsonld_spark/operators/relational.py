@@ -194,3 +194,60 @@ SELECT {group}, doc_id, sample_tag, hash_rank FROM (
            AS hash_rank
   FROM documents) s
 WHERE hash_rank <= {k}"""
+
+
+MIX_BUDGET_NUM = 3   # keep docs while cum_tokens*DEN <= source_total*NUM
+MIX_BUDGET_DEN = 10  # i.e. a 30% per-source token budget
+
+
+def token_budget_mix(
+    spark: SparkSession, sf_dir: str,
+    num: int = MIX_BUDGET_NUM, den: int = MIX_BUDGET_DEN,
+) -> DataFrame:
+    """Data-mixture sampling under a per-source TOKEN budget: within
+    each source, walk documents in deterministic md5(doc_id) order and
+    keep them while the running token total stays within num/den of the
+    source's total tokens. This is the "sample each domain down to its
+    mixture weight in tokens, not documents" step of a training-data
+    pipeline (document sampling over-weights sources with short docs).
+
+    The budget is a RATIO, not a constant, so the query is
+    scale-invariant, and the comparison is pure integer arithmetic
+    (cum*den <= total*num) — exact in any engine. Scale shape: one
+    window per stratum (cumulative sum; sorts spill, no collect) plus a
+    per-source total attached by the window's unbounded frame — a
+    single shuffle on source. Skewed giant sources are the known cost
+    of a per-stratum cumsum; the two-pass per-partition-prefix-sum
+    refinement drops in here without changing the contract.
+
+    Output: (source, doc_id, n_tokens, cum_tokens, source_tokens)."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower(F.col("text")), " ")).cast("long")
+    tag = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(tag, "doc_id")
+    wall = Window.partitionBy("source")
+    return (
+        docs.select("source", "doc_id", n_tokens.alias("n_tokens"),
+                    tag.alias("tag"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("source_tokens", F.sum("n_tokens").over(wall))
+        .where(F.col("cum_tokens") * den <= F.col("source_tokens") * num)
+        .select("source", "doc_id", "n_tokens", "cum_tokens", "source_tokens")
+    )
+
+
+def token_budget_mix_sql(num: int = MIX_BUDGET_NUM,
+                         den: int = MIX_BUDGET_DEN) -> str:
+    return f"""
+SELECT source, doc_id, n_tokens, cum_tokens, source_tokens FROM (
+  SELECT source, doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT)
+           AS source_tokens
+  FROM (SELECT source, doc_id,
+               len(string_split(lower(text), ' ')) AS n_tokens
+        FROM documents) t) s
+WHERE cum_tokens * {den} <= source_tokens * {num}"""

@@ -39,10 +39,11 @@ def _nl():
 # --- relational operator anchors (4 -> 1) ----------------------------------
 
 def rel_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The four TPC-style relational anchors + the deterministic
-    stratified sampler as one union: pricing (agg), top_orders (3-way
-    join + top-N), no_recent_orders (anti-join), sessions (window
-    sessionization), sample (bottom-k hash sampling per stratum).
+    """The four TPC-style relational anchors + the two deterministic
+    samplers as one union: pricing (agg), top_orders (3-way join +
+    top-N), no_recent_orders (anti-join), sessions (window
+    sessionization), sample (bottom-k hash sampling per stratum),
+    token_mix (per-source token-budget mixture sampling).
     Schema: (part, k1, k2, k3, v1, v2, v3, cnt)."""
     from jsonld_spark.operators import relational
 
@@ -100,7 +101,18 @@ def rel_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v3"),
         F.col("hash_rank").cast("long").alias("cnt"),
     )
-    return p.unionByName(t).unionByName(c).unionByName(s).unionByName(sam)
+    mix = relational.token_budget_mix(spark, sf_dir).select(
+        F.lit("token_mix").alias("part"),
+        F.col("source").alias("k1"),
+        F.col("doc_id").cast("string").alias("k2"),
+        _ns().alias("k3"),
+        F.col("n_tokens").cast("double").alias("v1"),
+        F.col("source_tokens").cast("double").alias("v2"),
+        _nd().alias("v3"),
+        F.col("cum_tokens").alias("cnt"),
+    )
+    return (p.unionByName(t).unionByName(c).unionByName(s)
+            .unionByName(sam).unionByName(mix))
 
 
 def rel_suite_sql() -> str:
@@ -130,7 +142,12 @@ FROM ({relational.event_sessions_sql()}) es
 UNION ALL
 SELECT 'sample', source, CAST(doc_id AS VARCHAR), sample_tag,
        NULL, NULL, NULL, CAST(hash_rank AS BIGINT)
-FROM ({relational.stratified_sample_sql()}) sm"""
+FROM ({relational.stratified_sample_sql()}) sm
+UNION ALL
+SELECT 'token_mix', source, CAST(doc_id AS VARCHAR), NULL,
+       CAST(n_tokens AS DOUBLE), CAST(source_tokens AS DOUBLE), NULL,
+       cum_tokens
+FROM ({relational.token_budget_mix_sql()}) tm"""
 
 
 # --- multimodal transform stages (2 -> 1) ----------------------------------
@@ -216,10 +233,12 @@ FROM ({dedup.simhash_near_pairs_sql()}) sp"""
 
 def dedup_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-hash duplicate groups + LSH near-dup CLUSTER canonical
-    assignment as one union — together the full "which docs survive
-    dedup" decision. Schema: (part, doc_id, ref, n1, is_duplicate) —
-    exact: ref=text_hash, n1=group_size; cluster: ref=canonical doc id
-    (as string), n1=cluster_size."""
+    assignment + benchmark decontamination as one union — together the
+    full "which docs survive the corpus" decision. Schema: (part,
+    doc_id, ref, n1, is_duplicate) — exact: ref=text_hash,
+    n1=group_size; cluster: ref=canonical doc id (as string),
+    n1=cluster_size; contam: ref=first benchmark id ':' bench-hit
+    count, n1=n_hit_grams, is_duplicate=true (drop decision)."""
     from jsonld_spark.operators import dedup
 
     exact = dedup.exact_duplicates(spark, sf_dir).select(
@@ -236,7 +255,15 @@ def dedup_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("long").alias("n1"),
         "is_duplicate",
     )
-    return exact.unionByName(clus)
+    contam = dedup.decontaminate(spark, sf_dir).select(
+        F.lit("contam").alias("part"),
+        "doc_id",
+        F.concat(F.col("first_bench").cast("string"), F.lit(":"),
+                 F.col("n_bench_hits").cast("string")).alias("ref"),
+        F.col("n_hit_grams").alias("n1"),
+        F.lit(True).alias("is_duplicate"),
+    )
+    return exact.unionByName(clus).unionByName(contam)
 
 
 def dedup_cluster_suite_sql() -> str:
@@ -249,7 +276,12 @@ FROM ({dedup.exact_duplicates_sql()}) e
 UNION ALL
 SELECT 'cluster', doc_id, CAST(canonical_doc AS VARCHAR),
        CAST(cluster_size AS BIGINT), is_duplicate
-FROM ({dedup.lsh_dup_clusters_sql()}) c"""
+FROM ({dedup.lsh_dup_clusters_sql()}) c
+UNION ALL
+SELECT 'contam', doc_id,
+       CAST(first_bench AS VARCHAR) || ':' || CAST(n_bench_hits AS VARCHAR),
+       n_hit_grams, TRUE
+FROM ({dedup.decontaminate_sql()}) d"""
 
 
 # --- adjacency counts + lists (2 -> 1) -------------------------------------
@@ -453,15 +485,22 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined on doc_id into one wide per-document row (all single-pass
     per-doc metrics over the same table; the two scan projections
     collapse into one stage, the repetition aggregate joins on the
-    doc_id key). Schema: (doc_id, n_tokens, n_distinct_tokens,
+    doc_id key). Round-5 close adds the URL/PII density detector (over
+    the planted-payload view) and the self-trained unigram-surprisal
+    quality score. Schema: (doc_id, n_tokens, n_distinct_tokens,
     n_subtokens, n_chars, stopword_ratio, chars_per_token,
-    alpha_ratio, top2gram_frac, dup3gram_frac)."""
+    alpha_ratio, top2gram_frac, dup3gram_frac, url_count, email_count,
+    longnum_count, pii_per_100toks, oov_tokens, surprisal_bits)."""
     from jsonld_spark.operators import text
 
     tok = text.token_stats(spark, sf_dir)
     qual = text.quality_scores(spark, sf_dir).drop("n_tokens")
     rep = text.repetition_stats(spark, sf_dir)
-    return tok.join(qual, "doc_id").join(rep, "doc_id")
+    pii = text.pii_url_stats(spark, sf_dir)
+    # n_scored == n_tokens by construction (same tokenization) — drop
+    surp = text.unigram_surprisal(spark, sf_dir).drop("n_scored")
+    return (tok.join(qual, "doc_id").join(rep, "doc_id")
+            .join(pii, "doc_id").join(surp, "doc_id"))
 
 
 def text_stats_suite_sql() -> str:
@@ -470,10 +509,14 @@ def text_stats_suite_sql() -> str:
     return f"""
 SELECT t.doc_id, t.n_tokens, t.n_distinct_tokens, t.n_subtokens, t.n_chars,
        q.stopword_ratio, q.chars_per_token, q.alpha_ratio,
-       r.top2gram_frac, r.dup3gram_frac
+       r.top2gram_frac, r.dup3gram_frac,
+       p.url_count, p.email_count, p.longnum_count, p.pii_per_100toks,
+       u.oov_tokens, u.surprisal_bits
 FROM ({text.token_stats_sql()}) t
 JOIN ({text.quality_scores_sql()}) q USING (doc_id)
-JOIN ({text.repetition_stats_sql()}) r USING (doc_id)"""
+JOIN ({text.repetition_stats_sql()}) r USING (doc_id)
+JOIN ({text.pii_url_stats_sql()}) p USING (doc_id)
+JOIN ({text.unigram_surprisal_sql()}) u USING (doc_id)"""
 
 
 # --- as-of + binned-range interval joins (new family, round 5) -------------

@@ -786,3 +786,160 @@ SELECT d.doc_id,
        a2.mx * 1.0 / a2.tot AS top2gram_frac,
        (a3.tot - a3.dst) * 1.0 / a3.tot AS dup3gram_frac
 FROM d LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)"""
+
+
+# --- URL / PII density (planted fixture) -------------------------------------
+
+PII_MOD = 5       # every doc with doc_id % PII_MOD == PII_OFFSET gets a payload
+PII_OFFSET = 2
+URL_RE = r"https?://[a-z0-9./-]+"
+EMAIL_RE = r"[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]{2,}"
+LONGNUM_RE = r"[0-9]{6,}"
+
+
+def planted_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with a deterministic URL+email+long-number
+    payload appended to every PII_MOD-th document — the corpus itself
+    contains no URLs/emails, so detector queries over raw docs would be
+    vacuously zero. The payload is pure string concat, reproduced
+    verbatim in the oracle; ground truth is doc_id arithmetic."""
+    docs = read_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    payload = F.concat(
+        F.lit(" contact agent"), sid, F.lit("@example.com via https://h"),
+        (F.col("doc_id") % 10).cast("string"), F.lit(".example.org/d/"), sid,
+        F.lit(" ref "), (F.col("doc_id") + 1000000).cast("string"),
+    )
+    planted = F.when(F.col("doc_id") % PII_MOD == PII_OFFSET,
+                     F.concat(F.col("text"), payload)).otherwise(F.col("text"))
+    return docs.withColumn("text", planted)
+
+
+def _planted_pii_docs_sql() -> str:
+    return f"""
+SELECT doc_id,
+       CASE WHEN doc_id % {PII_MOD} = {PII_OFFSET}
+            THEN text || ' contact agent' || CAST(doc_id AS VARCHAR)
+                 || '@example.com via https://h' || CAST(doc_id % 10 AS VARCHAR)
+                 || '.example.org/d/' || CAST(doc_id AS VARCHAR)
+                 || ' ref ' || CAST(doc_id + 1000000 AS VARCHAR)
+            ELSE text END AS text
+FROM documents"""
+
+
+def pii_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document URL / email / long-digit-run counts and a combined
+    PII-per-100-tokens density — the C4/RefinedWeb-style "strip or
+    down-weight documents dense in contact info" signal. Pure column
+    expressions (regexp_count over lowercased text), no UDF, no
+    shuffle; the regexes are RE2-and-Java-compatible by construction.
+
+    Output: (doc_id, url_count, email_count, longnum_count,
+    pii_per_100toks)."""
+    docs = planted_pii_docs(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    urls = F.regexp_count(low, F.lit(URL_RE)).cast("long")
+    mails = F.regexp_count(low, F.lit(EMAIL_RE)).cast("long")
+    nums = F.regexp_count(low, F.lit(LONGNUM_RE)).cast("long")
+    n_tokens = F.size(F.split(low, " "))
+    return docs.select(
+        "doc_id",
+        urls.alias("url_count"),
+        mails.alias("email_count"),
+        nums.alias("longnum_count"),
+        ((urls + mails + nums) * 100 / n_tokens).alias("pii_per_100toks"),
+    )
+
+
+def pii_url_stats_sql() -> str:
+    return f"""
+WITH p AS ({_planted_pii_docs_sql()}),
+c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{URL_RE}')) AS BIGINT)
+           AS url_count,
+         CAST(len(regexp_extract_all(lower(text), '{EMAIL_RE}')) AS BIGINT)
+           AS email_count,
+         CAST(len(regexp_extract_all(lower(text), '{LONGNUM_RE}')) AS BIGINT)
+           AS longnum_count,
+         len(string_split(lower(text), ' ')) AS n_tokens
+  FROM p)
+SELECT doc_id, url_count, email_count, longnum_count,
+       (url_count + email_count + longnum_count) * 100.0 / n_tokens
+         AS pii_per_100toks
+FROM c"""
+
+
+# --- self-trained unigram surprisal (quality-filter primitive) ---------------
+
+SURPRISAL_VOCAB = 4096  # top-V corpus tokens kept in the broadcast model
+
+
+def unigram_surprisal(spark: SparkSession, sf_dir: str,
+                      vocab: int = SURPRISAL_VOCAB) -> DataFrame:
+    """Per-document mean token surprisal in BITS under a unigram LM
+    trained on the corpus itself — the CCNet-style "perplexity" quality
+    filter without an external model. Surprisal is quantized to whole
+    bits, floor(log2(total/count)), computed as length(bin(total div
+    count)) - 1 — pure integer arithmetic, so the per-doc mean (one
+    integer sum + one division) is bit-identical across engines.
+
+    Scale shape: token counts are an explode + map-side-combined
+    aggregate; the model keeps only the top-``vocab`` tokens
+    (TakeOrdered, no global window) and joins back BROADCAST;
+    out-of-vocabulary tokens get the pessimal bucket
+    floor(log2(total)) + 1. The corpus token total rides along as a
+    1-row broadcast crossJoin (the LSH-planes pattern) so the whole
+    query stays one lazy plan — no driver-side count. Output:
+    (doc_id, n_scored, oov_tokens, surprisal_bits)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_toks()).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total_df = tok.agg(F.count("*").alias("total"))
+    model = (
+        counts.orderBy(F.col("cnt").desc(), "token").limit(vocab)
+        .crossJoin(F.broadcast(total_df))
+        .select(
+            "token",
+            (F.length(F.expr("bin(total div cnt)")) - 1)
+            .cast("long").alias("bucket"),
+        )
+    )
+    per_doc = (
+        tok.join(F.broadcast(model), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.sum(F.when(F.col("bucket").isNull(), 1).otherwise(0))
+             .cast("long").alias("oov_tokens"),
+            F.sum(F.coalesce("bucket", F.lit(0))).alias("known_bits"),
+        )
+    )
+    oov_bucket = F.length(F.bin("total")).cast("long")
+    return per_doc.crossJoin(F.broadcast(total_df)).select(
+        "doc_id", "n_scored", "oov_tokens",
+        ((F.col("known_bits") + F.col("oov_tokens") * oov_bucket)
+         / F.col("n_scored")).alias("surprisal_bits"),
+    )
+
+
+def unigram_surprisal_sql(vocab: int = SURPRISAL_VOCAB) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents),
+tot AS (SELECT COUNT(*) AS total FROM tok),
+model AS (
+  SELECT token,
+         CAST(length(bin((SELECT total FROM tot) // cnt)) - 1 AS BIGINT)
+           AS bucket
+  FROM (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+        ORDER BY cnt DESC, token LIMIT {vocab}) c)
+SELECT doc_id, COUNT(*) AS n_scored,
+       CAST(SUM(CASE WHEN m.bucket IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       AVG(COALESCE(m.bucket,
+                    CAST(length(bin((SELECT total FROM tot))) AS BIGINT)))
+         AS surprisal_bits
+FROM tok LEFT JOIN model m USING (token)
+GROUP BY doc_id"""

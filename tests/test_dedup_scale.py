@@ -197,3 +197,33 @@ def test_lsh_dup_clusters_transitive_closure(spark):
         (1, 1, 3, False), (5, 1, 3, True), (9, 1, 3, True),
         (20, 20, 2, False), (21, 20, 2, True),
     }
+
+
+def test_decontaminate_13_gram_boundary(spark, tmp_path):
+    """Planted contamination: doc 7 seeds the benchmark set (its
+    tokens 4..23 become the snippet); a doc sharing 13 consecutive
+    snippet tokens is flagged, a doc sharing only 12 is clean, and the
+    seed document contaminates ITSELF with all 8 snippet 13-grams."""
+    words = [f"w{k}" for k in range(30)]
+    snippet = words[dedup.DECONTAM_SKIP:dedup.DECONTAM_SKIP + dedup.DECONTAM_SNIPPET]
+    texts = [f"junk{i}a junk{i}b junk{i}c" for i in range(9)]
+    texts[7] = " ".join(words)                                   # bench seed
+    texts[3] = "a b " + " ".join(snippet[:13]) + " z1 z2"        # 13 shared
+    texts[4] = "c d " + " ".join(snippet[:12]) + " z3 z4 z5"     # only 12
+    sf_dir = _write_documents(spark, tmp_path, texts)
+
+    got = {r["doc_id"]: r for r in dedup.decontaminate(spark, sf_dir).collect()}
+    assert set(got) == {3, 7}
+    assert got[3]["n_hit_grams"] == 1
+    assert got[3]["n_bench_hits"] == 1 and got[3]["first_bench"] == 7
+    # the seed contains every 13-gram of its own 20-token snippet
+    assert got[7]["n_hit_grams"] == dedup.DECONTAM_SNIPPET - dedup.DECONTAM_N + 1
+
+
+def test_decontaminate_short_docs_never_seed(spark, tmp_path):
+    """A doc at the benchmark offset with fewer than SKIP+SNIPPET
+    tokens contributes nothing (and the corpus stays clean)."""
+    texts = [f"junk{i}a junk{i}b junk{i}c" for i in range(8)]
+    texts[7] = "short doc only five tokens here"
+    sf_dir = _write_documents(spark, tmp_path, texts)
+    assert dedup.decontaminate(spark, sf_dir).count() == 0

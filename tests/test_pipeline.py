@@ -496,3 +496,51 @@ def test_stratified_sample_is_deterministic_and_mergeable(spark):
         for rank, (_, doc_id) in enumerate(items[: relational.STRATIFIED_K], 1):
             expect[(source, rank)] = doc_id
     assert expect == got
+
+
+def test_token_budget_mix_greedy_prefix_semantics(spark):
+    """Token-budget mixture sampling: the kept set per source is
+    exactly the greedy md5-ordered prefix whose running token total
+    stays within num/den of the source total — verified against a
+    Python recompute over the raw table, plus partitioning
+    invariance."""
+    import hashlib
+    from jsonld_spark.operators import relational
+
+    sf = "/root/testdata/sf0.001"
+    raw = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "source", "doc_id", "text").collect()
+
+    bysrc: dict[str, list] = {}
+    for r in raw:
+        n = len(r["text"].lower().split(" "))
+        tag = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        bysrc.setdefault(r["source"], []).append((tag, r["doc_id"], n))
+    want = {}
+    for src, rows in bysrc.items():
+        rows.sort()
+        total = sum(n for _, _, n in rows)
+        cum = 0
+        for tag, did, n in rows:
+            cum += n
+            if cum * relational.MIX_BUDGET_DEN <= total * relational.MIX_BUDGET_NUM:
+                want[(src, did)] = (n, cum, total)
+
+    got = {
+        (r["source"], r["doc_id"]): (r["n_tokens"], r["cum_tokens"],
+                                     r["source_tokens"])
+        for r in relational.token_budget_mix(spark, sf).collect()
+    }
+    assert got == want and len(got) > 0
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        again = {
+            (r["source"], r["doc_id"]): (r["n_tokens"], r["cum_tokens"],
+                                         r["source_tokens"])
+            for r in relational.token_budget_mix(spark, sf).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert again == got

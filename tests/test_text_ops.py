@@ -311,3 +311,73 @@ def test_repetition_stats_planted_values(spark, tmp_path):
     assert got[1]["dup3gram_frac"] == 0.0
     assert got[2]["top2gram_frac"] is None and got[2]["dup3gram_frac"] is None
     assert got[3]["top2gram_frac"] == 1.0 and got[3]["dup3gram_frac"] is None
+
+
+def test_pii_url_planted_counts(spark, tmp_path):
+    """The planted payload contributes exactly one URL, one email and
+    one long digit run to every PII_MOD-th doc; unplanted docs stay at
+    zero (the raw corpus has none by construction)."""
+    rows = [(i, f"plain text number {i}", "en") for i in range(10)]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in T.pii_url_stats(spark, sf_dir).collect()}
+    for i in range(10):
+        planted = i % T.PII_MOD == T.PII_OFFSET
+        r = got[i]
+        assert (r["url_count"], r["email_count"], r["longnum_count"]) == (
+            (1, 1, 1) if planted else (0, 0, 0)
+        ), (i, r)
+        if planted:
+            assert r["pii_per_100toks"] > 0
+        else:
+            assert r["pii_per_100toks"] == 0.0
+
+
+def test_pii_regexes_count_multiple_hits(spark, tmp_path):
+    rows = [(0, "see https://a.example.org/x and https://b.io or "
+                "mail a.b@c.de and x_y@z.co ref 1234567 id 987654321", "en")]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    r = T.pii_url_stats(spark, sf_dir).collect()[0]
+    assert (r["url_count"], r["email_count"], r["longnum_count"]) == (2, 2, 2)
+
+
+def test_unigram_surprisal_python_reference(spark, tmp_path):
+    """Whole-bit unigram surprisal matches an exact Python recompute:
+    bucket(token) = floor(log2(total // count)); rare tokens score
+    high, the uniform-frequency doc scores the corpus entropy floor."""
+    rows = [
+        (0, "the the the the", "en"),
+        (1, "the the rare words", "en"),
+        (2, "zz yy xx ww", "en"),
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    toks = [t for _, txt, _ in rows for t in txt.split(" ")]
+    total = len(toks)
+    from collections import Counter
+    cnt = Counter(toks)
+    bucket = {t: (total // c).bit_length() - 1 for t, c in cnt.items()}
+    want = {}
+    for did, txt, _ in rows:
+        ts = txt.split(" ")
+        want[did] = sum(bucket[t] for t in ts) / len(ts)
+    got = {r["doc_id"]: r for r in T.unigram_surprisal(spark, sf_dir).collect()}
+    assert {d: r["surprisal_bits"] for d, r in got.items()} == want
+    assert all(r["oov_tokens"] == 0 for r in got.values())
+    # "the" (6 of 12 tokens) is the most predictable: bucket 1
+    assert got[0]["surprisal_bits"] < got[2]["surprisal_bits"]
+
+
+def test_unigram_surprisal_oov_gets_pessimal_bucket(spark, tmp_path):
+    """With the vocab capped at 1 (ties broken by count desc, token
+    asc), every out-of-vocabulary token scores floor(log2(total))+1 —
+    strictly worse than any in-vocabulary bucket."""
+    rows = [(0, "a a a b", "en"), (1, "b c d e", "en")]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in
+           T.unigram_surprisal(spark, sf_dir, vocab=1).collect()}
+    total = 8
+    oov = total.bit_length()  # 4
+    in_bucket = (total // 3).bit_length() - 1  # 'a' count 3 -> bucket 1
+    assert got[0]["oov_tokens"] == 1
+    assert got[0]["surprisal_bits"] == (3 * in_bucket + oov) / 4
+    assert got[1]["oov_tokens"] == 4
+    assert got[1]["surprisal_bits"] == float(oov)
