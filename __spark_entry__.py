@@ -466,12 +466,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # langid (planted multilingual fixture), one union suite
         "text_langid_suite": suites.text_langid_suite,
         "text_fingerprint": text.fingerprints,
-        # deterministic KMV distinct sketch: per-source word-3-gram
-        # cardinality, exact vs estimate side by side (md5-ordered
-        # k-minimum values — engine-portable, oracle-exact)
-        "sketch_kmv_distinct": __import__(
-            "jsonld_spark.operators.sketch", fromlist=["x"]
-        ).source_shingle_cardinality,
+        # mergeable sketches: KMV distinct cardinality (per-source
+        # word-3-grams) + count-min frequency estimates (probe tokens)
+        # — md5-based, engine-portable, oracle-exact
+        "sketch_suite": suites.sketch_suite,
         # --- multimodal plumbing ---
         "mm_payload_features": multimodal.payload_features,
         "mm_decoded_features": lambda spark, sf: multimodal.decode_features(
@@ -578,9 +576,7 @@ def oracle_sql() -> dict[str, str]:
         "text_boilerplate": text.boilerplate_suite_sql(),
         "text_langid_suite": suites.text_langid_suite_sql(),
         "text_fingerprint": text.fingerprints_sql(),
-        "sketch_kmv_distinct": __import__(
-            "jsonld_spark.operators.sketch", fromlist=["x"]
-        ).source_shingle_cardinality_sql(),
+        "sketch_suite": suites.sketch_suite_sql(),
         "mm_payload_features": multimodal.payload_features_sql(),
         "mm_decoded_features": multimodal.decoded_features_sql(),
         "mm_transform_suite": suites.mm_transform_suite_sql(),

@@ -129,3 +129,121 @@ SELECT ex.grp AS source, ex.exact_distinct,
                  CAST(kth.hvk AS DOUBLE) END AS kmv_estimate,
        CAST(kth.m AS INT) AS sketch_size
 FROM ex JOIN kth USING (grp)"""
+
+
+# --- count-min sketch (heavy-hitter / frequency estimation) ------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 16   # vocab ~31 tokens -> ~2 per bucket: the min-over-rows
+                # escape is genuinely exercised (width >> vocab would
+                # make every estimate trivially exact at sandbox scale)
+CM_PROBES = ["join", "hash", "customer", "vector", "stream", "the",
+             "notaword"]
+
+
+def _cm_bucket_expr(col, row: int, width: int):
+    """Deterministic bucket for sketch row ``row``: the 60-bit md5
+    value of 'row:token', mod width — portable to any engine."""
+    salted = F.concat(F.lit(f"{row}:"), col)
+    return (_hv_expr(salted) % width).cast("int")
+
+
+def _cm_bucket_sql(expr: str, row: int, width: int) -> str:
+    salted = "'" + str(row) + ":' || " + expr
+    return f"({_hv_sql(salted)} % {width})"
+
+
+def count_min_frequencies(
+    values: DataFrame, col: str, probes: list[str] | None = None,
+    depth: int = CM_DEPTH, width: int = CM_WIDTH,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) over ``col``,
+    probed for a fixed term list: estimate = min over ``depth`` rows of
+    the bucket counters, never below the true count (the one-sided CM
+    guarantee, asserted in pytest). The sketch is a (depth x width)
+    integer table built by ONE explode + hash aggregate — mergeable by
+    cell-wise addition, i.e. a partial aggregate at 100 TB; the probe
+    side is a literal broadcast.
+
+    Output: (term, true_count, cm_estimate)."""
+    probes = CM_PROBES if probes is None else probes
+    spark = values.sparkSession
+    cells = values.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("r"),
+                     _cm_bucket_expr(F.col(col), r, width).alias("b"))
+            for r in range(depth)
+        ])).alias("cell")
+    ).select("cell.r", "cell.b")
+    sketch = cells.groupBy("r", "b").agg(F.count("*").alias("n"))
+
+    probe_df = spark.createDataFrame([(t,) for t in probes], "term string")
+    probe_cells = probe_df.select(
+        "term",
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("r"),
+                     _cm_bucket_expr(F.col("term"), r, width).alias("b"))
+            for r in range(depth)
+        ])).alias("cell"),
+    ).select("term", "cell.r", "cell.b")
+    est = (
+        sketch.join(F.broadcast(probe_cells), ["r", "b"])
+        .groupBy("term")
+        # a probe bucket missing from the sketch means counter 0; the
+        # inner join drops it, so patch with the probe list below
+        .agg(F.min("n").alias("cm_estimate"))
+    )
+    true = (
+        values.join(F.broadcast(probe_df), F.col(col) == F.col("term"))
+        .groupBy("term").agg(F.count("*").alias("true_count"))
+    )
+    return (
+        probe_df.join(true, "term", "left")
+        .join(est, "term", "left")
+        .select(
+            "term",
+            F.coalesce("true_count", F.lit(0)).alias("true_count"),
+            F.coalesce("cm_estimate", F.lit(0)).alias("cm_estimate"),
+        )
+    )
+
+
+def corpus_token_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: count-min frequency estimates for the probe terms
+    over the documents token stream, alongside exact counts."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+    return count_min_frequencies(tok, "token")
+
+
+def corpus_token_count_min_sql(depth: int = CM_DEPTH,
+                               width: int = CM_WIDTH) -> str:
+    probe_vals = ", ".join(f"('{t}')" for t in CM_PROBES)
+    cell_selects = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_cm_bucket_sql('token', r, width)} AS b FROM tok"
+        for r in range(depth)
+    )
+    probe_cell_selects = " UNION ALL ".join(
+        f"SELECT term, {r} AS r, {_cm_bucket_sql('term', r, width)} AS b FROM probes"
+        for r in range(depth)
+    )
+    return f"""
+WITH probes(term) AS (VALUES {probe_vals}),
+tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+cells AS ({cell_selects}),
+sketch AS (SELECT r, b, COUNT(*) AS n FROM cells GROUP BY 1, 2),
+pcells AS ({probe_cell_selects}),
+est AS (
+  SELECT term, MIN(n) AS cm_estimate
+  FROM sketch JOIN pcells USING (r, b) GROUP BY 1),
+tru AS (
+  SELECT term, COUNT(*) AS true_count
+  FROM tok JOIN probes ON token = term GROUP BY 1)
+SELECT p.term,
+       CAST(COALESCE(t.true_count, 0) AS BIGINT) AS true_count,
+       CAST(COALESCE(e.cm_estimate, 0) AS BIGINT) AS cm_estimate
+FROM probes p
+LEFT JOIN tru t USING (term)
+LEFT JOIN est e USING (term)"""

@@ -406,10 +406,11 @@ SELECT 'scoped', subject FROM ({scoped_sql}) fs"""
 # --- brute + IVF top-k (2 -> 1) --------------------------------------------
 
 def sim_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force top-k + IVF approximate top-k as one union.
-    Schema: (part, query_id, rank, neighbor_id) — both parts share it
-    natively, so no value column is weakened."""
-    from jsonld_spark.operators import similarity
+    """Exact brute-force top-k + IVF approximate top-k (embedding
+    space) + BM25 keyword top-k (lexical space) as one union — the
+    retrieval family. Schema: (part, query_id, rank, neighbor_id) —
+    all parts share it natively, so no value column is weakened."""
+    from jsonld_spark.operators import search, similarity
 
     b = similarity.brute_force_topk(spark, sf_dir).select(
         F.lit("brute").alias("part"), "query_id", "rank", "neighbor_id"
@@ -417,18 +418,64 @@ def sim_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     i = similarity.ivf_topk(spark, sf_dir).select(
         F.lit("ivf").alias("part"), "query_id", "rank", "neighbor_id"
     )
-    return b.unionByName(i)
+    k = search.bm25_topk(spark, sf_dir).select(
+        F.lit("bm25").alias("part"), "query_id", "rank",
+        F.col("doc_id").alias("neighbor_id"),
+    )
+    return b.unionByName(i).unionByName(k)
 
 
 def sim_topk_suite_sql() -> str:
-    from jsonld_spark.operators import similarity
+    from jsonld_spark.operators import search, similarity
 
     return f"""
 SELECT 'brute' AS part, query_id, rank, neighbor_id
 FROM ({similarity.brute_force_topk_sql()}) sb
 UNION ALL
 SELECT 'ivf', query_id, rank, neighbor_id
-FROM ({similarity.ivf_topk_sql()}) si"""
+FROM ({similarity.ivf_topk_sql()}) si
+UNION ALL
+SELECT 'bm25', query_id, rank, doc_id
+FROM ({search.bm25_topk_sql()}) sk"""
+
+
+# --- cardinality + frequency sketches (2 -> 1) ------------------------------
+
+def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-cardinality estimates (per-source shingles) +
+    count-min frequency estimates (probe tokens) as one union — the
+    mergeable-sketch family. Schema: (part, key, exact_n, est, m) —
+    kmv: key=source, est=kmv_estimate, m=sketch_size; countmin:
+    key=probe term, est=cm_estimate, m=NULL."""
+    from jsonld_spark.operators import sketch
+
+    kmv = sketch.source_shingle_cardinality(spark, sf_dir).select(
+        F.lit("kmv").alias("part"),
+        F.col("source").alias("key"),
+        F.col("exact_distinct").alias("exact_n"),
+        F.col("kmv_estimate").alias("est"),
+        F.col("sketch_size").cast("long").alias("m"),
+    )
+    cm = sketch.corpus_token_count_min(spark, sf_dir).select(
+        F.lit("countmin").alias("part"),
+        F.col("term").alias("key"),
+        F.col("true_count").alias("exact_n"),
+        F.col("cm_estimate").cast("double").alias("est"),
+        _nl().alias("m"),
+    )
+    return kmv.unionByName(cm)
+
+
+def sketch_suite_sql() -> str:
+    from jsonld_spark.operators import sketch
+
+    return f"""
+SELECT 'kmv' AS part, source AS key, exact_distinct AS exact_n,
+       kmv_estimate AS est, CAST(sketch_size AS BIGINT) AS m
+FROM ({sketch.source_shingle_cardinality_sql()}) sv
+UNION ALL
+SELECT 'countmin', term, true_count, CAST(cm_estimate AS DOUBLE), NULL
+FROM ({sketch.corpus_token_count_min_sql()}) sc"""
 
 
 # --- marker + trigram language ID (2 -> 1) ---------------------------------

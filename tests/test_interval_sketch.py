@@ -235,3 +235,50 @@ def test_neighbor_similarity_ignores_self_loops(spark):
     assert (r["node_a"], r["node_b"]) == ("a", "c")
     # fadj(a) = {b}, fadj(c) = {b} -> jaccard 1/(1+1-1) = 1.0
     assert r["n_common"] == 1 and r["jaccard"] == 1.0
+
+
+def test_count_min_is_one_sided_and_exact_python_parity(spark):
+    """CM guarantee: estimate >= true count for every probe; and the
+    whole sketch matches an exact Python recompute of the same
+    (md5-salted-hash mod width) construction."""
+    import hashlib
+    from jsonld_spark.operators import sketch
+
+    rows = [("join",)] * 5 + [("hash",)] * 3 + [("x1",), ("x2",), ("x3",)]
+    vals = spark.createDataFrame(rows, "token string")
+    probes = ["join", "hash", "x1", "missing"]
+    got = {
+        r["term"]: (r["true_count"], r["cm_estimate"])
+        for r in sketch.count_min_frequencies(
+            vals, "token", probes=probes, depth=3, width=4).collect()
+    }
+
+    def bucket(tok, r, w):
+        hv = int(hashlib.md5(f"{r}:{tok}".encode()).hexdigest()[:15], 16)
+        return hv % w
+
+    table: dict[tuple[int, int], int] = {}
+    for (tok,) in rows:
+        for r in range(3):
+            key = (r, bucket(tok, r, 4))
+            table[key] = table.get(key, 0) + 1
+    want = {}
+    for p in probes:
+        true = sum(1 for (t,) in rows if t == p)
+        est = min(table.get((r, bucket(p, r, 4)), 0) for r in range(3))
+        want[p] = (true, est)
+    assert got == want
+    assert all(est >= true for true, est in got.values())
+
+
+def test_count_min_wide_sketch_is_exact(spark):
+    """With width >> distinct values and no collisions, every estimate
+    equals the true count."""
+    from jsonld_spark.operators import sketch
+
+    rows = [(f"t{i % 7}",) for i in range(70)]
+    vals = spark.createDataFrame(rows, "token string")
+    got = sketch.count_min_frequencies(
+        vals, "token", probes=[f"t{i}" for i in range(7)],
+        depth=4, width=4096).collect()
+    assert all(r["cm_estimate"] == r["true_count"] == 10 for r in got)
