@@ -53,7 +53,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str,
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
     )
     qterms = spark.createDataFrame(_query_rows(), "query_id long, token string")
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # document length straight off the docs scan (== count of the
+    # explode, without a second pass over the token stream)
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " ")).cast("long").alias("dl"),
+    )
     tf = (
         tok.join(F.broadcast(qterms), "token")
         .groupBy("query_id", "token", "doc_id")
@@ -105,7 +110,8 @@ WITH q(query_id, token) AS (VALUES {qvals}),
 tok AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
   FROM documents),
-dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+dl AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl
+       FROM documents),
 tf AS (
   SELECT query_id, token, doc_id, COUNT(*) AS tf
   FROM tok JOIN q USING (token) GROUP BY 1, 2, 3),

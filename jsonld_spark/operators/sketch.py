@@ -198,8 +198,8 @@ def count_min_frequencies(
         .groupBy("term").agg(F.count("*").alias("true_count"))
     )
     return (
-        probe_df.join(true, "term", "left")
-        .join(est, "term", "left")
+        probe_df.join(F.broadcast(true), "term", "left")
+        .join(F.broadcast(est), "term", "left")
         .select(
             "term",
             F.coalesce("true_count", F.lit(0)).alias("true_count"),

@@ -312,3 +312,45 @@ def test_boilerplate_removal_is_broadcast_anti_join_shaped(spark):
     corpus_plan = physical_plan_of(turns)
     assert "Window" not in corpus_plan, corpus_plan
     assert "Exchange" not in corpus_plan, corpus_plan
+
+
+def test_training_pipeline_op_plans_round5_close(spark):
+    """Round-5-close operator family: broadcast joins where claimed,
+    BroadcastNestedLoopJoin ONLY at the documented 1-row stat
+    crossJoins, and the map-only / single-shuffle shapes that make the
+    cheap operators cheap."""
+    from jsonld_spark.operators import dedup, relational, search, sketch, text
+
+    def counts(df):
+        plan = physical_plan_of(df)
+        assert "CartesianProduct" not in plan, plan
+        return (plan.count("BroadcastNestedLoopJoin"),
+                plan.count("BroadcastHashJoin"),
+                plan.count("Exchange"))
+
+    # benchmark-gram join is broadcast; no nested-loop anywhere
+    bnl, bhj, _ = counts(dedup.decontaminate(spark, SF))
+    assert bnl == 0 and bhj >= 1
+
+    # one shuffle (on source) — both windows share it
+    bnl, _, ex = counts(relational.token_budget_mix(spark, SF))
+    assert bnl == 0 and ex == 1
+
+    # pure column expressions: no join, no shuffle at all
+    bnl, bhj, ex = counts(text.pii_url_stats(spark, SF))
+    assert (bnl, bhj, ex) == (0, 0, 0)
+
+    # model join broadcast; BNLJ only at the TWO 1-row total attaches
+    bnl, bhj, _ = counts(text.unigram_surprisal(spark, SF))
+    assert bnl == 2 and bhj >= 1
+
+    # query/df/stats sides broadcast; BNLJ only at the 1-row stats
+    bnl, bhj, _ = counts(search.bm25_topk(spark, SF))
+    assert bnl == 1 and bhj >= 3
+
+    # probe sides broadcast — no sort-merge join on tiny probe frames
+    df = sketch.corpus_token_count_min(spark, SF)
+    plan = physical_plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0
