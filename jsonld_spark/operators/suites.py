@@ -539,15 +539,25 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha_ratio, top2gram_frac, dup3gram_frac, url_count, email_count,
     longnum_count, pii_per_100toks, oov_tokens, surprisal_bits)."""
     from jsonld_spark.operators import text
+    from jsonld_spark.plans.session import read_table
 
-    tok = text.token_stats(spark, sf_dir)
-    qual = text.quality_scores(spark, sf_dir).drop("n_tokens")
+    # All PURE-EXPRESSION metrics (token counts, quality ratios, PII
+    # density over the planted text) come off ONE scan as one
+    # projection — at 100 TB a per-metric join would shuffle the
+    # full-corpus per-doc frames once per metric family. Only the two
+    # aggregate-shaped metrics (repetition: gram explode + two-level
+    # agg; surprisal: token explode + model join + agg) join on doc_id.
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        *text.token_stat_cols(),
+        *text.quality_score_cols(),
+        *text.pii_stat_cols(text.planted_pii_text_expr()),
+    )
     rep = text.repetition_stats(spark, sf_dir)
-    pii = text.pii_url_stats(spark, sf_dir)
     # n_scored == n_tokens by construction (same tokenization) — drop
     surp = text.unigram_surprisal(spark, sf_dir).drop("n_scored")
-    return (tok.join(qual, "doc_id").join(rep, "doc_id")
-            .join(pii, "doc_id").join(surp, "doc_id"))
+    return base.join(rep, "doc_id").join(surp, "doc_id")
 
 
 def text_stats_suite_sql() -> str:

@@ -195,19 +195,25 @@ def _toks():
     return F.split(F.lower(F.col("text")), " ")
 
 
-def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token counting: whitespace tokens, distinct tokens,
-    a BPE-ish sub-token estimate (runs of letters/digits), char count."""
-    docs = read_table(spark, sf_dir, "documents")
+def token_stat_cols() -> list:
+    """The token-counting metric expressions over a ``text`` column —
+    shared by the standalone operator and the single-scan
+    text_stats_suite projection."""
     toks = _toks()
     subtoks = F.regexp_extract_all("text", F.lit(r"([A-Za-z]+|[0-9]+)"), 1)
-    return docs.select(
-        "doc_id",
+    return [
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         F.size(subtoks).alias("n_subtokens"),
         F.length("text").alias("n_chars"),
-    )
+    ]
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting: whitespace tokens, distinct tokens,
+    a BPE-ish sub-token estimate (runs of letters/digits), char count."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *token_stat_cols())
 
 
 def token_stats_sql() -> str:
@@ -220,20 +226,27 @@ SELECT doc_id,
 FROM documents"""
 
 
+def quality_score_cols() -> list:
+    """The quality-ratio expressions over a ``text`` column (see
+    token_stat_cols)."""
+    toks = _toks()
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    return [
+        (n_stop / F.size(toks)).alias("stopword_ratio"),
+        (F.length("text") / F.size(toks)).alias("chars_per_token"),
+        (n_alpha / F.length("text")).alias("alpha_ratio"),
+    ]
+
+
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality signals: stopword ratio, mean token length,
     alpha ratio. Ratios are int/int divisions — engine-exact."""
     docs = read_table(spark, sf_dir, "documents")
     toks = _toks()
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
     return docs.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        (n_stop / F.size(toks)).alias("stopword_ratio"),
-        (F.length("text") / F.size(toks)).alias("chars_per_token"),
-        (n_alpha / F.length("text")).alias("alpha_ratio"),
+        "doc_id", F.size(toks).alias("n_tokens"), *quality_score_cols()
     )
 
 
@@ -797,6 +810,19 @@ EMAIL_RE = r"[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]{2,}"
 LONGNUM_RE = r"[0-9]{6,}"
 
 
+def planted_pii_text_expr():
+    """The planted-payload text expression over (doc_id, text) — shared
+    by planted_pii_docs and the single-scan text_stats_suite."""
+    sid = F.col("doc_id").cast("string")
+    payload = F.concat(
+        F.lit(" contact agent"), sid, F.lit("@example.com via https://h"),
+        (F.col("doc_id") % 10).cast("string"), F.lit(".example.org/d/"), sid,
+        F.lit(" ref "), (F.col("doc_id") + 1000000).cast("string"),
+    )
+    return F.when(F.col("doc_id") % PII_MOD == PII_OFFSET,
+                  F.concat(F.col("text"), payload)).otherwise(F.col("text"))
+
+
 def planted_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents table with a deterministic URL+email+long-number
     payload appended to every PII_MOD-th document — the corpus itself
@@ -804,15 +830,7 @@ def planted_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vacuously zero. The payload is pure string concat, reproduced
     verbatim in the oracle; ground truth is doc_id arithmetic."""
     docs = read_table(spark, sf_dir, "documents")
-    sid = F.col("doc_id").cast("string")
-    payload = F.concat(
-        F.lit(" contact agent"), sid, F.lit("@example.com via https://h"),
-        (F.col("doc_id") % 10).cast("string"), F.lit(".example.org/d/"), sid,
-        F.lit(" ref "), (F.col("doc_id") + 1000000).cast("string"),
-    )
-    planted = F.when(F.col("doc_id") % PII_MOD == PII_OFFSET,
-                     F.concat(F.col("text"), payload)).otherwise(F.col("text"))
-    return docs.withColumn("text", planted)
+    return docs.withColumn("text", planted_pii_text_expr())
 
 
 def _planted_pii_docs_sql() -> str:
@@ -837,18 +855,23 @@ def pii_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id, url_count, email_count, longnum_count,
     pii_per_100toks)."""
     docs = planted_pii_docs(spark, sf_dir)
-    low = F.lower(F.col("text"))
+    return docs.select("doc_id", *pii_stat_cols(F.col("text")))
+
+
+def pii_stat_cols(text_col) -> list:
+    """The PII-density expressions over a (planted) text column (see
+    token_stat_cols)."""
+    low = F.lower(text_col)
     urls = F.regexp_count(low, F.lit(URL_RE)).cast("long")
     mails = F.regexp_count(low, F.lit(EMAIL_RE)).cast("long")
     nums = F.regexp_count(low, F.lit(LONGNUM_RE)).cast("long")
     n_tokens = F.size(F.split(low, " "))
-    return docs.select(
-        "doc_id",
+    return [
         urls.alias("url_count"),
         mails.alias("email_count"),
         nums.alias("longnum_count"),
         ((urls + mails + nums) * 100 / n_tokens).alias("pii_per_100toks"),
-    )
+    ]
 
 
 def pii_url_stats_sql() -> str:
@@ -892,10 +915,19 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str,
     1-row broadcast crossJoin (the LSH-planes pattern) so the whole
     query stays one lazy plan — no driver-side count. Output:
     (doc_id, n_scored, oov_tokens, surprisal_bits)."""
+    from jsonld_spark.operators import scratch
+
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_toks()).alias("token"))
-    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
-    total_df = tok.agg(F.count("*").alias("total"))
+    # vocab-sized; consumed by BOTH the model cut and the corpus total
+    # (Spark reuses exchanges only sometimes, never projections — the
+    # cache pins the one explode+groupBy pass; scratch-tracked, caller
+    # releases)
+    counts = scratch.track(
+        tok.groupBy("token").agg(F.count("*").alias("cnt")))
+    # the corpus total is the sum of the per-token counts — no third
+    # pass over the token stream
+    total_df = counts.agg(F.sum("cnt").alias("total"))
     model = (
         counts.orderBy(F.col("cnt").desc(), "token").limit(vocab)
         .crossJoin(F.broadcast(total_df))
@@ -928,12 +960,13 @@ def unigram_surprisal_sql(vocab: int = SURPRISAL_VOCAB) -> str:
 WITH tok AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
   FROM documents),
-tot AS (SELECT COUNT(*) AS total FROM tok),
+counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
 model AS (
   SELECT token,
          CAST(length(bin((SELECT total FROM tot) // cnt)) - 1 AS BIGINT)
            AS bucket
-  FROM (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+  FROM (SELECT token, cnt FROM counts
         ORDER BY cnt DESC, token LIMIT {vocab}) c)
 SELECT doc_id, COUNT(*) AS n_scored,
        CAST(SUM(CASE WHEN m.bucket IS NULL THEN 1 ELSE 0 END) AS BIGINT)
