@@ -59,7 +59,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str,
         "doc_id",
         F.size(F.split(F.lower(F.col("text")), " ")).cast("long").alias("dl"),
     )
-    tf = (
+    from jsonld_spark.operators import scratch
+
+    # consumed by BOTH the dfreq build and the scored probe side —
+    # uncached, the corpus-wide explode + broadcast filter + partial
+    # aggregate would run once per consumer (exchange reuse does not
+    # survive the narrower dfreq projection; scratch-tracked, caller
+    # releases). Small by construction: only query-term hits survive.
+    tf = scratch.track(
         tok.join(F.broadcast(qterms), "token")
         .groupBy("query_id", "token", "doc_id")
         .agg(F.count("*").alias("tf"))

@@ -187,11 +187,13 @@ def count_min_frequencies(
         ])).alias("cell"),
     ).select("term", "cell.r", "cell.b")
     est = (
-        sketch.join(F.broadcast(probe_cells), ["r", "b"])
+        # LEFT join from the probe cells: a probe bucket missing from
+        # the sketch is a ZERO counter and must participate in the min
+        # (an inner join would drop it and overshoot the estimate when
+        # only SOME of a probe's rows hit empty buckets)
+        probe_cells.join(F.broadcast(sketch), ["r", "b"], "left")
         .groupBy("term")
-        # a probe bucket missing from the sketch means counter 0; the
-        # inner join drops it, so patch with the probe list below
-        .agg(F.min("n").alias("cm_estimate"))
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("cm_estimate"))
     )
     true = (
         values.join(F.broadcast(probe_df), F.col(col) == F.col("term"))
@@ -236,8 +238,8 @@ cells AS ({cell_selects}),
 sketch AS (SELECT r, b, COUNT(*) AS n FROM cells GROUP BY 1, 2),
 pcells AS ({probe_cell_selects}),
 est AS (
-  SELECT term, MIN(n) AS cm_estimate
-  FROM sketch JOIN pcells USING (r, b) GROUP BY 1),
+  SELECT term, MIN(COALESCE(n, 0)) AS cm_estimate
+  FROM pcells LEFT JOIN sketch USING (r, b) GROUP BY 1),
 tru AS (
   SELECT term, COUNT(*) AS true_count
   FROM tok JOIN probes ON token = term GROUP BY 1)

@@ -812,8 +812,13 @@ LONGNUM_RE = r"[0-9]{6,}"
 
 def planted_pii_text_expr():
     """The planted-payload text expression over (doc_id, text) — shared
-    by planted_pii_docs and the single-scan text_stats_suite."""
-    sid = F.col("doc_id").cast("string")
+    by planted_pii_docs and the single-scan text_stats_suite. The ids
+    embedded in the email/URL are doc_id % 100000 (at most 5 digits) so
+    they can never match the 6+-digit long-number detector — the
+    payload contributes EXACTLY one URL, one email and one long number
+    (the 'ref' value, a single digit run whatever its length) for every
+    doc_id, not just sandbox-sized ones."""
+    sid = (F.col("doc_id") % 100000).cast("string")
     payload = F.concat(
         F.lit(" contact agent"), sid, F.lit("@example.com via https://h"),
         (F.col("doc_id") % 10).cast("string"), F.lit(".example.org/d/"), sid,
@@ -837,9 +842,9 @@ def _planted_pii_docs_sql() -> str:
     return f"""
 SELECT doc_id,
        CASE WHEN doc_id % {PII_MOD} = {PII_OFFSET}
-            THEN text || ' contact agent' || CAST(doc_id AS VARCHAR)
+            THEN text || ' contact agent' || CAST(doc_id % 100000 AS VARCHAR)
                  || '@example.com via https://h' || CAST(doc_id % 10 AS VARCHAR)
-                 || '.example.org/d/' || CAST(doc_id AS VARCHAR)
+                 || '.example.org/d/' || CAST(doc_id % 100000 AS VARCHAR)
                  || ' ref ' || CAST(doc_id + 1000000 AS VARCHAR)
             ELSE text END AS text
 FROM documents"""

@@ -282,3 +282,18 @@ def test_count_min_wide_sketch_is_exact(spark):
         vals, "token", probes=[f"t{i}" for i in range(7)],
         depth=4, width=4096).collect()
     assert all(r["cm_estimate"] == r["true_count"] == 10 for r in got)
+
+
+def test_count_min_empty_bucket_counts_as_zero(spark):
+    """Regression (round-5 review): a probe whose bucket is empty in
+    SOME depth rows must estimate through the zero counter — the
+    inner-join formulation silently dropped empty buckets and
+    overshot. Here 'p0' collides with 'a' in one row but hits an empty
+    bucket in another, so the true CM estimate is 0."""
+    from jsonld_spark.operators import sketch
+
+    vals = spark.createDataFrame([("a",)], "token string")
+    got = sketch.count_min_frequencies(
+        vals, "token", probes=["p0"], depth=2, width=4).collect()
+    assert got[0]["true_count"] == 0
+    assert got[0]["cm_estimate"] == 0
