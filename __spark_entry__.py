@@ -449,12 +449,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # suite; multi-table LSH keeps its own entry (recall headline)
         "sim_topk_suite": suites.sim_topk_suite,
         "sim_lsh_ann_topk": similarity.lsh_ann_topk,
-        # planted-twin mode: the random corpus has no true near-dups
-        # (max cosine 0.48), so the check plants deterministic twins on
-        # both sides and asserts the operator finds them (VERDICT r2 #3)
-        "sim_embedding_neardup": lambda spark, sf: similarity.embedding_near_duplicates(
-            spark, sf, plant_every=similarity.PLANT_EVERY
-        ),
+        # neardup: planted-twin mode — the random corpus has no true
+        # near-dups (max cosine 0.48), so the check plants deterministic
+        # twins on both sides and asserts the operator finds them
+        # (VERDICT r2 #3); contam: exact broadcast eval sweep
+        "sim_neardup_suite": suites.sim_neardup_suite,
         # --- text analysis ---
         # token counting + quality scoring, one wide per-doc row
         "text_stats_suite": suites.text_stats_suite,
@@ -569,9 +568,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_suite": suites.dedup_simhash_suite_sql(),
         "sim_topk_suite": suites.sim_topk_suite_sql(),
         "sim_lsh_ann_topk": similarity.lsh_ann_topk_sql(),
-        "sim_embedding_neardup": similarity.embedding_near_duplicates_sql(
-            plant_every=similarity.PLANT_EVERY
-        ),
+        "sim_neardup_suite": suites.sim_neardup_suite_sql(),
         "text_stats_suite": suites.text_stats_suite_sql(),
         "text_boilerplate": text.boilerplate_suite_sql(),
         "text_langid_suite": suites.text_langid_suite_sql(),

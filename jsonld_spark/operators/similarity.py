@@ -687,3 +687,61 @@ JOIN b ba ON ba.vec_id = vec_a
 JOIN b bb ON bb.vec_id = vec_b
 WHERE list_dot_product(ba.q, bb.q) /
       sqrt(list_dot_product(ba.q, ba.q) * list_dot_product(bb.q, bb.q)) >= {threshold}"""
+
+
+# --- train-vs-eval semantic contamination ------------------------------------
+
+CONTAM_COSINE = 0.30   # flag-for-review threshold (cross-set cosines on
+                       # this corpus are ~N(0, 1/sqrt(64)); 0.30 = 2.4 sigma)
+CONTAM_MOD = 40        # eval ids reuse the lexical decontamination
+CONTAM_OFFSET = 7      # schedule (dedup.DECONTAM_MOD/OFFSET)
+
+
+def embedding_contamination(spark: SparkSession, sf_dir: str,
+                            threshold: float = CONTAM_COSINE) -> DataFrame:
+    """Semantic train-vs-eval contamination: every (train doc, eval
+    item) pair with embedding cosine >= threshold — the companion to
+    dedup.decontaminate's lexical 13-gram rule (paraphrased benchmark
+    leakage has no shared n-grams but stays close in embedding space).
+
+    Unlike the ANN family this is an EXACT broadcast sweep of the eval
+    set against the corpus: decontamination wants recall 1 (an LSH
+    miss here silently leaks an eval item into training), and eval
+    sets are small by nature, so broadcasting the eval side and
+    scoring every train vector is the shape you actually run at
+    100 TB — O(N x E) vectorized integer dot products, no shuffle at
+    all until nothing survives the threshold. The bucketed candidate
+    construction (embedding_near_duplicates) remains the opt-in when E
+    grows beyond broadcast size.
+
+    Output: (vec_id, eval_id, cosine) — training-corpus rows only
+    (eval members are excluded as both sides of themselves)."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized().alias("q"))
+    ev = emb.where(F.col("vec_id") % CONTAM_MOD == CONTAM_OFFSET).select(
+        F.col("vec_id").alias("eval_id"), F.col("q").alias("qe"))
+    cos = _pair_dot(F.col("q"), F.col("qe")) / F.sqrt(
+        _norm2(F.col("q")) * _norm2(F.col("qe")))
+    return (
+        emb.crossJoin(F.broadcast(ev))
+        .where(F.col("vec_id") != F.col("eval_id"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("vec_id", "eval_id", "cosine")
+    )
+
+
+def embedding_contamination_sql(threshold: float = CONTAM_COSINE) -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, {_quantized_sql()} AS q FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, q AS qe FROM emb
+       WHERE vec_id % {CONTAM_MOD} = {CONTAM_OFFSET})
+SELECT e.vec_id, ev.eval_id,
+       list_dot_product(e.q, ev.qe) /
+         sqrt(list_dot_product(e.q, e.q) * list_dot_product(ev.qe, ev.qe))
+         AS cosine
+FROM emb e CROSS JOIN ev
+WHERE e.vec_id <> ev.eval_id
+  AND list_dot_product(e.q, ev.qe) /
+        sqrt(list_dot_product(e.q, e.q) * list_dot_product(ev.qe, ev.qe))
+        >= {threshold}"""

@@ -615,3 +615,43 @@ FROM ({interval.asof_event_profiles_sql()}) ia
 UNION ALL
 SELECT 'range', event_id, user_id, NULL, win_id, NULL
 FROM ({interval.events_in_windows_sql()}) ir"""
+
+
+# --- embedding near-dup + semantic contamination (2 -> 1) -------------------
+
+def sim_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus embedding near-duplicates (planted-twin mode) +
+    train-vs-eval semantic contamination as one union — the embedding-
+    space corpus-hygiene family. Schema: (part, id_a, id_b, cosine) —
+    neardup reports the pair only (its contract is the bucketed
+    candidate construction), contam carries the exact cosine."""
+    from jsonld_spark.operators import similarity
+
+    nd = similarity.embedding_near_duplicates(
+        spark, sf_dir, plant_every=similarity.PLANT_EVERY
+    ).select(
+        F.lit("neardup").alias("part"),
+        F.col("vec_a").alias("id_a"),
+        F.col("vec_b").alias("id_b"),
+        _nd().alias("cosine"),
+    )
+    ct = similarity.embedding_contamination(spark, sf_dir).select(
+        F.lit("contam").alias("part"),
+        F.col("vec_id").alias("id_a"),
+        F.col("eval_id").alias("id_b"),
+        "cosine",
+    )
+    return nd.unionByName(ct)
+
+
+def sim_neardup_suite_sql() -> str:
+    from jsonld_spark.operators import similarity
+
+    return f"""
+SELECT 'neardup' AS part, vec_a AS id_a, vec_b AS id_b,
+       CAST(NULL AS DOUBLE) AS cosine
+FROM ({similarity.embedding_near_duplicates_sql(
+        plant_every=similarity.PLANT_EVERY)}) nd
+UNION ALL
+SELECT 'contam', vec_id, eval_id, cosine
+FROM ({similarity.embedding_contamination_sql()}) ct"""

@@ -80,3 +80,33 @@ def test_multiprobe_lsh_topk_subset_of_brute(spark, tmp_path):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_embedding_contamination_matches_brute_force(spark):
+    """The exact broadcast eval sweep equals a Python recompute of
+    every (train, eval) quantized cosine over the real sf0.001 table —
+    recall 1 by construction (no candidate generation to miss)."""
+    import math
+
+    from jsonld_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding").collect()
+    q = {r["vec_id"]: [math.floor(x * S.QUANT) for x in r["embedding"]]
+         for r in rows}
+    evs = {i: v for i, v in q.items()
+           if i % S.CONTAM_MOD == S.CONTAM_OFFSET}
+    want = set()
+    for vid, v in q.items():
+        for eid, e in evs.items():
+            if vid == eid:
+                continue
+            dot = sum(a * b for a, b in zip(v, e))
+            cos = dot / math.sqrt(
+                sum(a * a for a in v) * sum(b * b for b in e))
+            if cos >= S.CONTAM_COSINE:
+                want.add((vid, eid))
+    got = {(r["vec_id"], r["eval_id"])
+           for r in S.embedding_contamination(spark, sf).collect()}
+    assert got == want and len(got) > 0
