@@ -51,26 +51,56 @@ def _tokens_expr():
 def with_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """Add a deduplicated word-n-gram shingle array column.
 
-    Built with zip_with over shifted slices rather than per-index
-    element_at inside transform(): there is no common-subexpression
-    elimination inside higher-order-function lambdas, so the
-    element_at formulation re-evaluated split() three times per
-    shingle (measured 8.8s for 260k shingles vs ~0.5s this way).
-    The input is also repartitioned: the docs table is one small
-    parquet file (1-2 scan partitions) but shingling is per-row CPU."""
+    Construction (third iteration, each measured): ONE transform over
+    the materialized token array with the element index, emitting
+    concat_ws(' ', slice(toks, i+1, n)) for in-range positions and
+    filtering the trailing nulls. The original per-index element_at
+    re-evaluated split() per shingle (8.8 s for 260k 3-shingles); the
+    round-2 chained zip_with fix was fine at n=3 but its n-deep nested
+    HOF tree re-evaluates inner levels per outer element — at n=13
+    (decontamination) the shingle stage alone took 362 s for 27M
+    shingles at 128x volume, and a transform-over-sequence + slice
+    variant was no better (459 s). This index-transform form measured
+    23.8 s for the same 27M shingles (array_distinct and the length
+    guard add nothing: 25.4/22.6 s). The token array is materialized
+    BELOW the repartition exchange so CollapseProject cannot re-inline
+    split(lower(text)) into every slice reference; the repartition
+    also spreads the per-row CPU (the docs table is one small parquet
+    file, 1-2 scan partitions)."""
     n_parts = 2 * docs.sparkSession.sparkContext.defaultParallelism
-    toks = _tokens_expr()
-    shingled = toks
-    for k in range(1, n):
-        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
-        shingled = F.zip_with(shingled, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    shingles = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.slice(shingled, 1, F.greatest(F.size(toks) - n + 1, F.lit(0)))
+    tokd = docs.withColumn("toks", _tokens_expr()).repartition(n_parts)
+    toks = F.col("toks")
+    in_range = F.filter(
+        F.transform(
+            toks,
+            lambda x, i: F.when(
+                i <= F.size(toks) - n,
+                F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
         ),
+        lambda s: s.isNotNull(),
+    )
+    shingles = F.when(
+        F.size(toks) >= n, F.array_distinct(in_range)
     ).otherwise(F.array().cast("array<string>"))
-    return docs.repartition(n_parts).withColumn("shingles", shingles)
+    return tokd.withColumn("shingles", shingles).drop("toks")
+
+
+def explode_shingles():
+    """explode() over the shingles column with a generator child that
+    is NOT a bare attribute (concat of one array is the identity).
+
+    Catalyst's InferFiltersFromGenerate fires only on attribute
+    children; on explode(shingles) it infers size(shingles) > 0 AND
+    isnotnull(shingles), and predicate pushdown substitutes the
+    attribute with its defining expression and pushes the filter
+    through the repartition exchange INTO THE SCAN — re-evaluating the
+    whole shingle construction on the table's 1-2 file partitions,
+    single-threaded, before the parallel stage runs it again (measured
+    at 128x volume: the 13-gram stage sat >10 min on one scan task vs
+    28.3 s with this wrapper; the rule itself skips non-attribute
+    children precisely to avoid duplicating expensive expressions)."""
+    return F.explode(F.concat(F.col("shingles")))
 
 
 def _shingles_sql(n: int = SHINGLE_N) -> str:
@@ -127,7 +157,7 @@ def prefix_candidates(docs_with_shingles: DataFrame,
     a raw inverted-index self-join, VERDICT.md round-1 item #4) sort to
     the END of every document and are indexed only by tiny documents.
     """
-    sh = docs_with_shingles.select("doc_id", F.explode("shingles").alias("s"))
+    sh = docs_with_shingles.select("doc_id", explode_shingles().alias("s"))
     df_counts = sh.groupBy("s").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
     ranked = (
@@ -571,11 +601,11 @@ def decontaminate(spark: SparkSession, sf_dir: str,
     docs = read_table(spark, sf_dir, "documents")
     bench_grams = (
         with_shingles(benchmark_snippets(docs), n)
-        .select("bench_id", F.explode("shingles").alias("gram"))
+        .select("bench_id", explode_shingles().alias("gram"))
     )
     train_grams = (
         with_shingles(docs, n)
-        .select("doc_id", F.explode("shingles").alias("gram"))
+        .select("doc_id", explode_shingles().alias("gram"))
     )
     return (
         train_grams.join(F.broadcast(bench_grams), "gram")

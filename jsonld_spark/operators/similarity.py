@@ -715,9 +715,22 @@ def embedding_contamination(spark: SparkSession, sf_dir: str,
     grows beyond broadcast size.
 
     Output: (vec_id, eval_id, cosine) — training-corpus rows only
-    (eval members are excluded as both sides of themselves)."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _quantized().alias("q"))
+    (eval members are excluded as both sides of themselves).
+
+    The quantized train-side array is materialized BELOW a repartition
+    exchange: the cosine references it in three HOF aggregates (dot +
+    both norms) and in both the filter and the projection, and
+    CollapseProject re-inlines the quantization transform into every
+    reference (no CSE across HOF lambdas — the repo-wide landmine);
+    the exchange also spreads the scoring across the cluster instead
+    of the scan's file-partition count (measured: the unfixed single
+    scan task ran >15 min at 64k x 50 pairs; fixed, seconds)."""
+    n_parts = 2 * spark.sparkContext.defaultParallelism
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _quantized().alias("q"))
+        .repartition(n_parts)
+    )
     ev = emb.where(F.col("vec_id") % CONTAM_MOD == CONTAM_OFFSET).select(
         F.col("vec_id").alias("eval_id"), F.col("q").alias("qe"))
     cos = _pair_dot(F.col("q"), F.col("qe")) / F.sqrt(

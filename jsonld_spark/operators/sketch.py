@@ -99,10 +99,10 @@ def source_shingle_cardinality(spark: SparkSession, sf_dir: str,
     which would leave the estimator branch untested); 3-gram shingles
     run 1,000-1,500 distinct per source, so the sketch genuinely
     estimates (k=64 << n)."""
-    from jsonld_spark.operators.dedup import with_shingles
+    from jsonld_spark.operators.dedup import explode_shingles, with_shingles
 
     docs = with_shingles(read_table(spark, sf_dir, "documents"))
-    sh = docs.select("source", F.explode("shingles").alias("s"))
+    sh = docs.select("source", explode_shingles().alias("s"))
     return kmv_distinct(sh, group="source", col="s", k=k)
 
 
