@@ -68,7 +68,18 @@ def with_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     also spreads the per-row CPU (the docs table is one small parquet
     file, 1-2 scan partitions)."""
     n_parts = 2 * docs.sparkSession.sparkContext.defaultParallelism
-    tokd = docs.withColumn("toks", _tokens_expr()).repartition(n_parts)
+    # has_shingles: a CHEAP emptiness flag computed below the exchange.
+    # Consumers must filter on THIS, never on size(shingles) — a
+    # predicate over the shingles attribute gets substituted with the
+    # full construction expression and pushed into the 1-2-partition
+    # scan (the simhash round-3 lesson, re-measured here: minhash
+    # 1.3 -> 4.6 s when the n=3 construction got heavier). This flag
+    # pushes down as size(split(...)) >= n — scan-cheap.
+    tokd = (
+        docs.withColumn("toks", _tokens_expr())
+        .withColumn("has_shingles", F.size(F.col("toks")) >= n)
+        .repartition(n_parts)
+    )
     toks = F.col("toks")
     in_range = F.filter(
         F.transform(
@@ -242,7 +253,10 @@ def minhash_signatures(docs_with_shingles: DataFrame, num_hashes: int = NUM_MINH
         ),
     )
     return (
-        docs_with_shingles.where(F.size("shingles") > 0)
+        # filter on the scan-cheap flag, NOT size(shingles) — see
+        # with_shingles: a shingles-attribute predicate re-runs the
+        # whole construction inside the scan
+        docs_with_shingles.where(F.col("has_shingles"))
         .select("doc_id", sig.alias("sig"))
     )
 
