@@ -157,3 +157,44 @@ def windowed_mention_counts(
     return exploded.groupBy(
         F.window("ts", window, slide).alias("window"), "entity_id"
     ).agg(F.count("*").alias("n_mentions"))
+
+
+DOC_STREAM_SCHEMA = "doc_id bigint, text string, ts timestamp"
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    within_watermark: str | None = None,
+) -> None:
+    """Streaming exact deduplication: emit each document the FIRST
+    time its normalized-text hash is seen, across micro-batches and
+    across runs (the state store persists with the checkpoint) — the
+    streaming counterpart of ``dedup.exact_duplicates`` for a corpus
+    that arrives continuously.
+
+    State is one row per distinct hash. Without ``within_watermark``
+    that state grows with the corpus — exactly what a global dedup
+    means, and the deliberate default; pass e.g. ``"1 hour"`` to use
+    ``dropDuplicatesWithinWatermark`` instead, which bounds state to
+    the watermark horizon and re-admits a duplicate that arrives after
+    its first occurrence has aged out (the CDC/"rolling window" dedup
+    contract; late-data caveats per SPARK-24634 apply as pinned in
+    test_streaming.py)."""
+    stream = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(input_dir)
+    hashed = stream.withColumn("text_hash", F.md5(F.lower(F.col("text"))))
+    if within_watermark:
+        deduped = hashed.withWatermark("ts", within_watermark) \
+            .dropDuplicatesWithinWatermark(["text_hash"])
+    else:
+        deduped = hashed.dropDuplicates(["text_hash"])
+    query = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

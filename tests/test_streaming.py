@@ -193,3 +193,50 @@ def test_watermark_finalizes_windows_and_drops_late_events(tmp_path, spark):
         for p in query.recentProgress
     )
     assert dropped == 1, dropped
+
+
+def test_stream_exact_dedup_across_batches_and_runs(tmp_path, spark):
+    """Cross-batch streaming exact dedup: the first occurrence of each
+    text hash is emitted exactly once, duplicates in LATER runs are
+    suppressed by the checkpointed state, and re-running with no new
+    files is a no-op — converging to the batch dedup's distinct-hash
+    set."""
+    import datetime as dt
+
+    from jsonld_spark.streaming.incremental import stream_exact_dedup
+
+    ind = str(tmp_path / "in")
+    outd = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ts = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [(i, t, ts) for i, t in rows],
+            "doc_id bigint, text string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(ind)
+
+    write_batch("b1", [(1, "alpha beta"), (2, "gamma delta"), (3, "Alpha  Beta")])
+    # doc 3 is NOT a dup of doc 1: double space -> different token split
+    stream_exact_dedup(spark, ind, outd, ckpt)
+    first = spark.read.parquet(outd)
+    assert first.count() == 3
+
+    # second run: one true dup (case-only variant of doc 1) + one new
+    write_batch("b2", [(4, "ALPHA BETA"), (5, "epsilon zeta")])
+    stream_exact_dedup(spark, ind, outd, ckpt)
+    out = spark.read.parquet(outd)
+    assert out.count() == 4  # doc 4 suppressed by cross-run state
+    assert out.where("doc_id = 4").count() == 0
+    assert out.select("text_hash").distinct().count() == 4
+
+    # the emitted hash set equals the batch dedup's distinct set
+    batch_hashes = {
+        r["h"] for r in spark.read.parquet(ind)
+        .selectExpr("md5(lower(text)) AS h").distinct().collect()
+    }
+    assert {r["text_hash"] for r in out.collect()} == batch_hashes
+
+    # idempotent re-run: no new files -> no new rows
+    stream_exact_dedup(spark, ind, outd, ckpt)
+    assert spark.read.parquet(outd).count() == 4
