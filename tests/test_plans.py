@@ -354,3 +354,33 @@ def test_training_pipeline_op_plans_round5_close(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 0
+
+
+def test_shingle_construction_never_pushed_into_scan(spark):
+    """Regression armor for the round-5-close volume findings: no
+    consumer of with_shingles may let a predicate carrying the shingle
+    construction reach the parquet scan. Two past mechanisms: Catalyst
+    InferFiltersFromGenerate on explode(shingles-attribute), and an
+    explicit size(shingles) > 0 filter — both get the attribute
+    substituted with the full transform/array_distinct expression and
+    pushed below the repartition exchange onto the table's 1-2 file
+    partitions (single-threaded double work; 440 s -> 34 s at 128x
+    volume when fixed)."""
+    from jsonld_spark.operators import dedup, sketch
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        frames = [
+            dedup.decontaminate(spark, SF),
+            dedup.minhash_lsh_pairs(spark, SF),
+            dedup.ngram_jaccard_pairs(spark, SF),
+            sketch.source_shingle_cardinality(spark, SF),
+        ]
+        for df in frames:
+            plan = physical_plan_of(df)
+            for line in plan.splitlines():
+                if "FileScan" in line:
+                    assert "array_distinct" not in line, line
+                    assert "concat_ws" not in line, line
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
