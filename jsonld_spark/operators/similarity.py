@@ -691,10 +691,14 @@ WHERE list_dot_product(ba.q, bb.q) /
 
 # --- train-vs-eval semantic contamination ------------------------------------
 
+from jsonld_spark.operators.dedup import DECONTAM_MOD, DECONTAM_OFFSET
+
 CONTAM_COSINE = 0.30   # flag-for-review threshold (cross-set cosines on
                        # this corpus are ~N(0, 1/sqrt(64)); 0.30 = 2.4 sigma)
-CONTAM_MOD = 40        # eval ids reuse the lexical decontamination
-CONTAM_OFFSET = 7      # schedule (dedup.DECONTAM_MOD/OFFSET)
+# eval ids reuse the lexical decontamination schedule — imported, not
+# copied, so the two contamination modes can never silently diverge
+CONTAM_MOD = DECONTAM_MOD
+CONTAM_OFFSET = DECONTAM_OFFSET
 
 
 def embedding_contamination(spark: SparkSession, sf_dir: str,
@@ -709,8 +713,10 @@ def embedding_contamination(spark: SparkSession, sf_dir: str,
     miss here silently leaks an eval item into training), and eval
     sets are small by nature, so broadcasting the eval side and
     scoring every train vector is the shape you actually run at
-    100 TB — O(N x E) vectorized integer dot products, no shuffle at
-    all until nothing survives the threshold. The bucketed candidate
+    100 TB — O(N x E) vectorized integer dot products. The only
+    exchange is the one repartition of the quantized train side below
+    the scoring stage (see below); nothing shuffles after scoring —
+    the threshold filter runs map-side. The bucketed candidate
     construction (embedding_near_duplicates) remains the opt-in when E
     grows beyond broadcast size.
 

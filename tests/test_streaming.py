@@ -210,20 +210,20 @@ def test_stream_exact_dedup_across_batches_and_runs(tmp_path, spark):
     ckpt = str(tmp_path / "ckpt")
     ts = dt.datetime(2026, 1, 1, 12, 0, 0)
 
-    def write_batch(name, rows):
+    def write_batch(rows):
         spark.createDataFrame(
             [(i, t, ts) for i, t in rows],
             "doc_id bigint, text string, ts timestamp",
         ).coalesce(1).write.mode("append").parquet(ind)
 
-    write_batch("b1", [(1, "alpha beta"), (2, "gamma delta"), (3, "Alpha  Beta")])
+    write_batch([(1, "alpha beta"), (2, "gamma delta"), (3, "Alpha  Beta")])
     # doc 3 is NOT a dup of doc 1: double space -> different token split
     stream_exact_dedup(spark, ind, outd, ckpt)
     first = spark.read.parquet(outd)
     assert first.count() == 3
 
     # second run: one true dup (case-only variant of doc 1) + one new
-    write_batch("b2", [(4, "ALPHA BETA"), (5, "epsilon zeta")])
+    write_batch([(4, "ALPHA BETA"), (5, "epsilon zeta")])
     stream_exact_dedup(spark, ind, outd, ckpt)
     out = spark.read.parquet(outd)
     assert out.count() == 4  # doc 4 suppressed by cross-run state

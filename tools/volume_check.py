@@ -3,9 +3,12 @@
 Replicates the sf-dir documents table DOC_REPS times (doc_id offset
 10^7 per replica — divisible by every planted mod-schedule, so the
 PII/decontamination/langid fixtures keep their density) and the
-embeddings table EMB_REPS times (replicas shifted +1 so they add
-TRAIN volume but no eval items — a real eval set does not grow with
-the corpus), writes them to a scratch dir, and times the curation
+embeddings table EMB_REPS times (replicas shifted +1, which ROTATES
+the residue class: replica copies of residue-6 originals become eval
+items, so the contamination eval set grows with the corpus — 50 ->
+1,600 items at 32x, making the sweep a deliberately harder 102M-pair
+check; the recorded BENCH/BASELINE.md numbers use exactly this
+construction), writes them to a scratch dir, and times the curation
 operators end-to-end. This check caught two plan bugs invisible at
 sf0.1 (see BENCH/BASELINE.md "Volume check" section): scale evidence
 is only evidence if the job actually runs at scale.
@@ -51,8 +54,12 @@ def main() -> int:
          .alias("vec_id"),
         "embedding")
     bigemb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
-    print(f"corpus written: {big.count()} docs ({DOC_REPS}x), "
-          f"{bigemb.count()} vectors ({EMB_REPS}x)")
+    # count the WRITTEN files (parquet footer metadata, nearly free) —
+    # counting big/bigemb would re-run the replication crossJoins
+    n_docs = spark.read.parquet(f"{out}/documents.parquet").count()
+    n_vecs = spark.read.parquet(f"{out}/embeddings.parquet").count()
+    print(f"corpus written: {n_docs} docs ({DOC_REPS}x), "
+          f"{n_vecs} vectors ({EMB_REPS}x)")
 
     from jsonld_spark.operators import (
         dedup, relational, scratch, search, similarity, sketch, suites,
