@@ -198,6 +198,14 @@ def ngram_jaccard_pairs(
     on the full inverted index: a shingle appearing in d documents no
     longer materializes O(d^2) candidate rows."""
     docs = with_shingles(read_table(spark, sf_dir, "documents"))
+    # Measured and REJECTED this round (r6): materializing the shingle
+    # table through one shared hash exchange (so ReuseExchange computes
+    # the construction once for the index + both verification sides)
+    # was ~1.8x SLOWER at the bench scale — the fused
+    # construction-inside-consumer projections avoid materializing and
+    # shuffling the wide shingle arrays, and the redundant branches run
+    # on otherwise-idle cores. Recompute-per-branch is the right local
+    # trade; see OPTIMIZATION_r06.md (dedup_minhash_lsh A/B).
     cand = prefix_candidates(docs, threshold)
     sets = docs.select("doc_id", "shingles")
     return (
@@ -308,6 +316,14 @@ def minhash_lsh_pairs(
     guaranteed to collide.
     """
     docs = with_shingles(read_table(spark, sf_dir, "documents"))
+    # Measured and REJECTED this round (r6): sharing the shingle
+    # construction and the 64-hash signature aggregate across all
+    # consumers through hash exchanges (ReuseExchange computes each
+    # once) was ~1.8x SLOWER end-to-end at the bench scale than this
+    # recompute-per-branch shape (interleaved A/B best-of-4: 1.48 s vs
+    # 2.74 s at sf0.1/32c) — the exchanges serialize the wide shingle
+    # arrays and add blocking boundaries, while the redundant branches
+    # run on otherwise-idle cores. See OPTIMIZATION_r06.md.
     sig = minhash_signatures(docs, num_hashes)
     cand = minhash_band_candidates(sig, num_hashes, bands)
     # exact verification of the candidate set via shingle-array overlap
@@ -374,7 +390,17 @@ def lsh_dup_clusters(
 
     if pairs is None:
         pairs = minhash_lsh_pairs(spark, sf_dir, threshold)
-    p = pairs.select("doc_a", "doc_b")
+    # the pair set feeds the component edges AND both endpoint-node
+    # projections, and connected_components materializes its inputs as
+    # two SEPARATE eager localCheckpoints — exchange reuse alone cannot
+    # span executions, so the tiny pair set is scratch-cached (safe
+    # here: the checkpoint actions are sequential, and within each the
+    # repartition exchange dedups the union arms). Interleaved A/B
+    # best-of-3 at sf0.1/32c: plain 4.51 s, exchange-only 4.33 s,
+    # THIS 3.64 s. Caller releases via scratch (guide §2.4/§5).
+    from jsonld_spark.operators import scratch
+
+    p = scratch.track(pairs.select("doc_a", "doc_b").repartition("doc_a"))
     edges = p.select(
         F.lit(0).alias("key"), F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
