@@ -60,6 +60,57 @@ from jsonld_spark.kernel.rdf import (
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
+class _NeedsJoinPath(Exception):
+    """Internal: the frame carries an @frame subframe alternative, so
+    frame_select must fall back to the recursive semi-join compiler."""
+
+
+def _key_row_condition(prop, spec):
+    """Row predicate for one frame key, or None when the key adds no
+    constraint (@default); raises _NeedsJoinPath for @frame subframes
+    (those need the recursive semi-join compiler)."""
+    if prop == "@type":
+        return (F.col("predicate") == RDF_TYPE) & (F.col("obj_value") == spec)
+    if isinstance(spec, list) and len(spec) == 0:
+        return (F.col("predicate") == prop)  # negative: must NOT exist
+    if isinstance(spec, dict) and len(spec) == 0:
+        return (F.col("predicate") == prop)
+    alternatives = spec if isinstance(spec, list) else [spec]
+    if any(isinstance(a, dict) and "@default" in a for a in alternatives):
+        return None  # no constraint either way
+    if any(isinstance(a, dict) and "@frame" in a for a in alternatives):
+        raise _NeedsJoinPath()
+    preds = []
+    for alt in alternatives:
+        if isinstance(alt, dict) and len(alt) == 0:
+            preds.append(F.lit(True))
+        else:
+            preds.append(_match_condition(alt))
+    combined = preds[0]
+    for c in preds[1:]:
+        combined = combined | c
+    return (F.col("predicate") == prop) & combined
+
+
+def _simple_frame_conditions(stripped: dict):
+    """(positive, negative) row-condition lists for a subframe-free
+    frame (framing keywords already stripped); raises _NeedsJoinPath
+    when a key needs the join compiler. A subject matches iff some row
+    satisfies every positive condition's flag and none satisfies any
+    negative one — the single-pass (max-flag aggregation or window)
+    form of nodeMatchesFrame's per-key loop."""
+    pos, neg = [], []
+    for prop, spec in stripped.items():
+        cond = _key_row_condition(prop, spec)
+        if cond is None:
+            continue
+        if isinstance(spec, list) and len(spec) == 0:
+            neg.append(cond)
+        else:
+            pos.append(cond)
+    return pos, neg
+
+
 def _strip_framing_keywords(frame: dict) -> dict:
     """Drop @embed/@explicit/@embedChildren/@default from the top level
     of a frame — the kernel pops them into options before matching
@@ -207,20 +258,56 @@ def frame_select(triples: DataFrame, frame: dict) -> DataFrame:
       alternative matches (nodeMatchesFrame's validValues loop,
       Processor.php:2722-2757)
 
-    Plan shape (measured round 4: 16.6 s -> see BENCH/BASELINE.md):
-    the running subject set starts from the FIRST constraint's
-    filtered subjects, not from a distinct over every triple subject
-    (that full-table aggregate is only needed for an empty or
-    all-negative frame), and semi/anti-join right sides are never
-    pre-distincted — a semi-join dedups by construction, so each
-    ``.distinct()`` there was a wasted full shuffle.
+    Plan shape (round 6 — supersedes the round-4 semi-join chain): a
+    frame without ``@frame`` subframes compiles to ONE pass over the
+    triple table — ``where(OR of every key's row condition)`` then
+    ``groupBy(subject)`` with a max() match flag per key, keeping
+    subjects whose positive flags are all set and negative (``[]``)
+    flags unset. The round-4 shape scanned the table once per
+    constraint (filter -> distinct/semi-join each); on the cached 2M-row
+    triple table each scan cost ~30 core-s, so the single aggregation
+    pass halves the query's table passes (stage-profiled; bench
+    evidence in OPTIMIZATION_r06.md). The OR of equality conditions
+    still pushes to a parquet scan as Or(EqualTo...) filters
+    (test_plans.py::test_frame_query_pushes_filters_to_parquet_scan).
+    Frames with ``@frame`` subframes (recursive semi-joins) and frames
+    with no positive constraint keep the round-4 semi/anti-join path.
     """
+    stripped = _strip_framing_keywords(frame)
+
+    try:
+        pos, neg = _simple_frame_conditions(stripped)
+        if pos:
+            conds = pos + neg
+            scan = conds[0]
+            for c in conds[1:]:
+                scan = scan | c
+            flags = [
+                F.max(F.when(c, F.lit(1)).otherwise(F.lit(0))).alias(f"_m{i}")
+                for i, c in enumerate(conds)
+            ]
+            keep = F.col("_m0") == 1
+            for i in range(1, len(pos)):
+                keep = keep & (F.col(f"_m{i}") == 1)
+            for j in range(len(pos), len(conds)):
+                keep = keep & (F.col(f"_m{j}") == 0)
+            return (
+                triples.where(scan)
+                .groupBy("subject")
+                .agg(*flags)
+                .where(keep)
+                .select("subject")
+            )
+    except _NeedsJoinPath:
+        pass
+
+    # --- join path: @frame subframes / no positive constraint --------
     subjects = None  # lazily: all subjects, only if nothing narrows first
 
     def all_subjects():
         return triples.select("subject").distinct()
 
-    for prop, spec in _strip_framing_keywords(frame).items():
+    for prop, spec in stripped.items():
         cond = None  # filtered (non-distinct) subject column for this key
         if prop == "@type":
             cond = triples.where(
@@ -384,17 +471,79 @@ def frame_subgraph(
     if explicit is None:
         explicit = frame.get("@explicit", False)
 
+    if not explicit and embed is not False and triples.is_cached:
+        # r6 shape for the simple-frame closure over a CACHED triple
+        # table (stage-profiled; A/B best-of-3 at sf0.1/32c: r4/r5
+        # semi-join chain 5.2 s, scratch-cached semi-join chain 3.5 s,
+        # THIS 3.2 s): compute the matched subjects' TRIPLES in ONE
+        # pass — per-key max() match flags over a subject window,
+        # filter on the flags — instead of frame_select's aggregate
+        # followed by a second full pass for the semi-join. Every pass
+        # over the cached 2M-row table costs ~25 core-s, and exchange
+        # reuse CANNOT dedup them (Spark 4.1 never reuses exchanges
+        # above an InMemoryRelation — verified empirically this
+        # round), so pass count is the whole game. Gated on is_cached:
+        # over a PARQUET snapshot the r4 chain below keeps its
+        # per-constraint PushedFilters scans (plan-guarded,
+        # test_plans.py::test_frame_query_pushes_filters_to_parquet_scan)
+        # — a selective frame there reads only matching row groups,
+        # which beats one full-table window pass; a cache scan has no
+        # row-group pruning to lose. t_matched is scratch-cached: the
+        # output union arm, the hop-frontier chain, and the frontier
+        # anti-join all consume it. Output equality: the unioned
+        # per-hop triple sets partition triples-semi-`seen` by
+        # disjoint subject sets.
+        from pyspark.sql.window import Window
+
+        try:
+            pos, neg = _simple_frame_conditions(_strip_framing_keywords(frame))
+        except _NeedsJoinPath:
+            pos = []
+        if pos:
+            w = Window.partitionBy("subject")
+            conds = pos + neg
+            flagged = triples
+            for i, c in enumerate(conds):
+                flagged = flagged.withColumn(
+                    f"_m{i}", F.max(F.when(c, F.lit(1)).otherwise(F.lit(0))).over(w)
+                )
+            keep = F.col("_m0") == 1
+            for i in range(1, len(pos)):
+                keep = keep & (F.col(f"_m{i}") == 1)
+            for j in range(len(pos), len(conds)):
+                keep = keep & (F.col(f"_m{j}") == 0)
+            t_matched = scratch.track(
+                flagged.where(keep).drop(*[f"_m{i}" for i in range(len(conds))])
+            )
+            result = t_matched
+            seen = t_matched.select("subject")  # anti dedups; no distinct
+            hop_src = t_matched
+            for _ in range(depth):
+                objs = (
+                    hop_src.where(F.col("obj_kind") == "iri")
+                    .select(F.col("obj_value").alias("subject"))
+                    .distinct()
+                )
+                frontier = objs.join(seen, "subject", "left_anti")
+                t_frontier = scratch.track(
+                    triples.join(frontier, "subject", "left_semi")
+                )
+                result = result.unionByName(t_frontier)
+                seen = seen.unionByName(t_frontier.select("subject"))
+                hop_src = t_frontier
+            return result
+
     # matched feeds the hop join, the seen union, AND the final semi-
     # join — uncached, its frame semi-joins would recompute per
-    # consumer (measured: the dominant cost of the driver's subgraph
-    # query). Scratch-tracked like the graph family; caller releases.
+    # consumer. Scratch-tracked like the graph family; caller releases.
     matched = scratch.track(frame_select(triples, frame))
     if embed is False:
         return matched
 
     if not explicit:
-        # measured-good shape (r4 shuffle diet): closure via per-hop
-        # semi-joins, one final semi-join over the disjoint seen union
+        # join-compiler fallback (subframes / no positive constraint):
+        # closure via per-hop semi-joins, one final semi-join over the
+        # disjoint seen union (the r4 measured-good shape)
         frontier = matched
         seen = matched
         for _ in range(depth):

@@ -194,13 +194,24 @@ def edges_with_outdeg(edges: DataFrame, reverse: bool = False) -> DataFrame:
     cache it ONCE and pass it through ``esrc=`` (VERDICT r4 #7: the
     reversed-edge build is the residual PPR-vs-PR cost that forward
     PR cannot share)."""
+    from pyspark.sql.window import Window
+
     e = (
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         if reverse
         else edges
     )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    return e.join(outdeg, "src")
+    # count-over-window, not groupBy+join (r6): one shuffle and ONE
+    # scan of the edge table instead of two concurrent ones — on a
+    # cold caller cache the groupBy map and the join map raced the
+    # cache population, doubling the projection+distinct work
+    # (stage-profiled: two ~30 core-s map stages over the same cache;
+    # A/B best-of-3 at sf0.1/32c: 3.18 s -> 2.52 s for PR end-to-end).
+    # count(*) over partitionBy(src) is exactly the per-src edge count,
+    # so the (src, dst, outdeg) rows are identical.
+    return e.select(
+        "src", "dst", F.count("*").over(Window.partitionBy("src")).alias("outdeg")
+    )
 
 
 def personalized_pagerank_fixedpoint(
@@ -262,14 +273,18 @@ def _pagerank_core(
         # caller-owned prebuilt (src, dst, outdeg) — caller caches it
         esrc = esrc_in
     else:
-        outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-        # both consumed every round: cache once (scratch-tracked)
-        esrc = scratch.track(e.join(outdeg, "src"))  # (src, dst, outdeg)
+        # window-count form (see edges_with_outdeg): ONE scan of the
+        # edge cache instead of the groupBy map + join map racing a
+        # cold cache; consumed every round, so scratch-cached
+        esrc = scratch.track(edges_with_outdeg(e))  # (src, dst, outdeg)
     base = scale * 15 // 100
     if seeds is None:
+        # node set from esrc, NOT from e: esrc carries the same edge
+        # rows, and deriving here keeps the caller's edge cache at
+        # exactly one consumer (the esrc window map) — the two
+        # endpoint-projection scans of e raced its cold population
         nodes = (
-            e.select(F.col("src").alias("node"))
-            .unionAll(e.select(F.col("dst").alias("node")))
+            esrc.select(F.explode(F.array("src", "dst")).alias("node"))
             .distinct()
         )
         # dense recurrence: every node carries the teleport term, so
@@ -313,8 +328,12 @@ def _pagerank_core(
     # showed THIS subplan, not per-round work or the esrc build, was
     # the residual PPR-vs-PR gap, tools/profile_ppr.py)
     seed_nodes = seeds.select("node").distinct()
+    # endpoint scan over esrc, not e (r6): esrc carries the same edge
+    # rows, so this keeps the caller's edge cache at one consumer —
+    # and with a prebuilt esrc_in the seed probe reads the caller's
+    # warm cache instead of re-deriving the reversal from e
     present = (
-        e.select(F.explode(F.array("src", "dst")).alias("node"))
+        esrc.select(F.explode(F.array("src", "dst")).alias("node"))
         .join(F.broadcast(seed_nodes), "node")
         .distinct()
     )

@@ -88,6 +88,11 @@ def main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("--") \
         else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(sys.argv[sys.argv.index("--reps") + 1]) if "--reps" in sys.argv else 2
+    # --pre q1,q2: run these registry queries first with the SAME
+    # queries() map (bench.py runs the headline list in order, so e.g.
+    # kg_pagerank sees a WARM shared triples cache from kg_triples)
+    pre = (sys.argv[sys.argv.index("--pre") + 1].split(",")
+           if "--pre" in sys.argv else [])
 
     evdir = "/tmp/spark-events-profile"
     import shutil
@@ -118,6 +123,8 @@ def main() -> None:
         queries = entrymod.queries()
         spark.catalog.clearCache()
         scratch.release()
+        for p in pre:
+            queries[p](spark, sf_dir).count()
         df = queries[name](spark, sf_dir)
         sc.setJobDescription(f"{name} rep{rep}")
         t0 = time.time()
