@@ -75,44 +75,49 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     okey(b1) < okey(b2) closes iff oriented edge (b1 -> b2) exists —
     each triangle is found exactly once, at its lowest-okey corner.
     """
-    # LAZY cache(), not checkpoints: eager localCheckpoint() runs jobs
-    # at DataFrame-build time (outside any caller's timing/action) and
-    # even eager=False compiles the physical plan on the spot — see
-    # pagerank_fixedpoint's docstring. und/oriented still compute once
-    # for their multiple consumers. Both stay referenced by the
-    # returned lazy plan, so they are scratch-tracked for the caller to
-    # release() after materializing (operators/scratch.py).
-    und = scratch.track(
-        edges.select(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-        ).distinct()
+    from pyspark.sql.window import Window
+
+    # r6 single-consumption rework (A/B best-of-2 at sf0.1/32c:
+    # 8.2 s -> 6.0 s warm, 13.2 -> 6.4 cold): the r5 shape cached
+    # `und` and consumed it 3x (two endpoint projections for the
+    # degree aggregate + the keyed join), and attached degrees via TWO
+    # joins against the keyed table — on a cold cache the concurrent
+    # consumers RACED the distinct (stage-profiled: twin 65-core-s map
+    # stages), and exchange reuse cannot dedup them (never fires above
+    # an InMemoryRelation in Spark 4.1). Here `und` has exactly ONE
+    # consumer: explode both endpoints, count degree per node with a
+    # window, and regroup by edge — two shuffles of 2|E| endpoint rows
+    # replace the degree aggregate plus two degree joins plus the
+    # cache, and no cache race exists at all.
+    und = edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    ends = und.select(
+        "u", "v", F.explode(F.array(F.col("u"), F.col("v"))).alias("node")
     )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
+    withdeg = ends.withColumn(
+        "deg", F.count("*").over(Window.partitionBy("node"))
+    )
+    withk = withdeg.groupBy("u", "v").agg(
+        F.max(F.when(F.col("node") == F.col("u"), F.col("deg"))).alias("du"),
+        F.max(F.when(F.col("node") == F.col("v"), F.col("deg"))).alias("dv"),
     )
     # 12 digits of degree keeps the string order == (deg, node) order
     # for degrees < 10^12 (lpad truncates beyond; order would stay a
     # consistent total order on both engines, but no longer degree
     # order, so the sqrt(m) wedge bound would soften)
-    keyed = deg.select(
-        "node",
-        F.concat(
-            F.lpad(F.col("deg").cast("string"), 12, "0"), F.lit("|"), F.col("node")
-        ).alias("okey"),
+    ku = F.concat(
+        F.lpad(F.col("du").cast("string"), 12, "0"), F.lit("|"), F.col("u")
     )
-    withk = (
-        und.join(keyed.select(F.col("node").alias("u"), F.col("okey").alias("ku")), "u")
-        .join(keyed.select(F.col("node").alias("v"), F.col("okey").alias("kv")), "v")
+    kv = F.concat(
+        F.lpad(F.col("dv").cast("string"), 12, "0"), F.lit("|"), F.col("v")
     )
-    lo = F.col("ku") < F.col("kv")
+    lo = ku < kv
     oriented = scratch.track(  # consumed 3x below; computed once, lazily
         withk.select(
             F.when(lo, F.col("u")).otherwise(F.col("v")).alias("a"),
             F.when(lo, F.col("v")).otherwise(F.col("u")).alias("b"),
-            F.when(lo, F.col("kv")).otherwise(F.col("ku")).alias("kb"),
+            F.when(lo, kv).otherwise(ku).alias("kb"),
         )
     )
     wedges = (
@@ -458,11 +463,19 @@ def negative_samples(edges: DataFrame, k: int, probes: int = NEG_PROBES) -> Data
             NEG_BUCKET_CHARS,
         ).alias("bkt"),
     )
+    # r6: dedup the NODE-SIZED probe table, not the candidate join
+    # output — each candidate owns exactly one bucket (md5 prefix of
+    # itself), so with unique (node, bkt) probe rows the joined
+    # (node, cand) pairs are unique by construction and the old
+    # .distinct() over the candidate set (probes x |V|^2 / 16^chars
+    # rows — ~1e9 at sf0.1, a full extra shuffle + hash aggregate of
+    # the fattest intermediate in the repo) is a no-op. Identical
+    # output; the sf0.1 run previously GC-thrashed to death here.
     cand = (
-        probes_df.join(buckets, "bkt")
+        probes_df.distinct()
+        .join(buckets, "bkt")
         .where(F.col("cand") != F.col("node"))
         .select("node", "cand")
-        .distinct()
     )
     return _rank_non_edge_candidates(cand, edges, k)
 
@@ -545,8 +558,16 @@ def negative_samples_degree(
             NEG_BUCKET_CHARS,
         ).alias("bkt"),
     )
+    # r6: dedup the small inputs before the fan-out join (probe rows
+    # per node, replica rows per candidate) — the same (node, cand)
+    # pair can still arise through TWO DIFFERENT buckets (distinct
+    # replicas of one candidate), so the final distinct stays, but it
+    # now dedups strictly fewer rows. See negative_samples for the
+    # uniform variant, where the candidate-level distinct drops
+    # entirely.
     cand = (
-        probes_df.join(buckets, "bkt")
+        probes_df.distinct()
+        .join(buckets.distinct(), "bkt")
         .where(F.col("cand") != F.col("node"))
         .select("node", "cand")
         .distinct()
