@@ -684,7 +684,8 @@ KCORE_ROUNDS = 6
 
 
 def kcore_nodes(
-    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS,
+    check_converged: bool = True,
 ) -> DataFrame:
     """(node, core_deg): the k-core of the UNDIRECTED graph underlying
     ``edges`` — the maximal subgraph where every node keeps degree
@@ -710,8 +711,8 @@ def kcore_nodes(
     live = edges.select(
         F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
     ).distinct()
-    for _ in range(rounds):
-        live = live.localCheckpoint()
+
+    def peel(live: DataFrame) -> DataFrame:
         deg = (
             live.select(F.col("u").alias("node"))
             .unionAll(live.select(F.col("v").alias("node")))
@@ -719,9 +720,31 @@ def kcore_nodes(
             .agg(F.count("*").alias("d"))
         )
         keep = deg.where(F.col("d") >= k).select("node")
-        live = live.join(keep.withColumnRenamed("node", "u"), "u", "left_semi").join(
-            keep.withColumnRenamed("node", "v"), "v", "left_semi"
-        )
+        return live.join(
+            keep.withColumnRenamed("node", "u"), "u", "left_semi"
+        ).join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+
+    for _ in range(rounds):
+        live = live.localCheckpoint()
+        live = peel(live)
+    if check_converged:
+        # r6 convergence contract (VERDICT r5 #3, matching the
+        # circuit-breaker contract of paths.closure_all): a deeper peel
+        # cascade than ``rounds`` must FAIL LOUDLY, not silently return
+        # a superset of the k-core. One extra peel over the (small,
+        # converged) survivor set costs two counts; a fixpoint is
+        # reached iff it removes no edge. The loop's localCheckpoints
+        # already run eagerly at construction time, so this adds no
+        # new execution-model surprise for callers.
+        live = live.localCheckpoint()
+        before = live.count()
+        after = peel(live).count()
+        if after != before:
+            raise RuntimeError(
+                f"kcore_nodes did not converge within rounds={rounds}: "
+                f"one more peel removed {before - after} edges; raise "
+                "the round budget for this graph's peel depth"
+            )
     return (
         live.select(F.col("u").alias("node"))
         .unionAll(live.select(F.col("v").alias("node")))

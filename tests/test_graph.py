@@ -480,3 +480,26 @@ def test_kcore_empty_and_subcritical(spark):
     assert kcore_nodes(_edges_df(spark, chain), k=3).count() == 0
     empty = spark.createDataFrame([], "src string, dst string")
     assert kcore_nodes(empty, k=2).count() == 0
+
+
+def test_kcore_insufficient_budget_raises(spark):
+    """r6 convergence contract (VERDICT r5 #3): a peel cascade deeper
+    than the round budget must raise, not silently return a superset
+    of the k-core — matching paths.closure_all's circuit breaker. A
+    length-20 path at k=2 peels one node from each end per round
+    (~10 rounds to empty), so rounds=2 is insufficient; the same graph
+    under a sufficient budget converges, and disabling the check
+    reproduces the old fixed-budget ('N-round peel') semantics."""
+    import pytest
+
+    from jsonld_spark.operators.graph import kcore_nodes
+
+    path = [(f"p{i:02d}", f"p{i+1:02d}") for i in range(20)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_nodes(_edges_df(spark, path), k=2, rounds=2).count()
+    # the unchecked form returns the 2-round peel superset unchanged
+    assert kcore_nodes(
+        _edges_df(spark, path), k=2, rounds=2, check_converged=False
+    ).count() > 0
+    # a sufficient budget passes the check and peels the path away
+    assert kcore_nodes(_edges_df(spark, path), k=2, rounds=12).count() == 0

@@ -30,6 +30,7 @@ from jsonld_spark.plans.session import get_spark
 
 DOC_REPS = 128
 EMB_REPS = 32
+EVENT_REPS = 32
 OFFSET = 10**7
 
 
@@ -54,16 +55,33 @@ def main() -> int:
          .alias("vec_id"),
         "embedding")
     bigemb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    # r6 (VERDICT r5 #2): the events table too — the as-of/range
+    # interval joins, boilerplate removal, and the k-core graph all
+    # derive from events and had never run above sf0.1. user_id is
+    # offset per replica so per-user event sequences (the window keys)
+    # multiply instead of interleaving.
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    rep3 = spark.range(EVENT_REPS).select(F.col("id").alias("r"))
+    bigev = ev.crossJoin(rep3).select(
+        (F.col("event_id") + F.col("r") * OFFSET).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("r") * OFFSET).alias("user_id"),
+        "event_type", "value", "props")
+    bigev.write.mode("overwrite").parquet(f"{out}/events.parquet")
+
     # count the WRITTEN files (parquet footer metadata, nearly free) —
     # counting big/bigemb would re-run the replication crossJoins
     n_docs = spark.read.parquet(f"{out}/documents.parquet").count()
     n_vecs = spark.read.parquet(f"{out}/embeddings.parquet").count()
+    n_ev = spark.read.parquet(f"{out}/events.parquet").count()
     print(f"corpus written: {n_docs} docs ({DOC_REPS}x), "
-          f"{n_vecs} vectors ({EMB_REPS}x)")
+          f"{n_vecs} vectors ({EMB_REPS}x), {n_ev} events ({EVENT_REPS}x)")
 
     from jsonld_spark.operators import (
-        dedup, relational, scratch, search, similarity, sketch, suites,
+        dedup, graph, interval, relational, scratch, search, similarity,
+        sketch, suites, text,
     )
+    from jsonld_spark.operators.kg_pipeline import kg_triples
 
     cases = [
         ("decontaminate", lambda: dedup.decontaminate(spark, out)),
@@ -73,6 +91,12 @@ def main() -> int:
         ("text_stats_suite", lambda: suites.text_stats_suite(spark, out)),
         ("embedding_contamination",
          lambda: similarity.embedding_contamination(spark, out)),
+        # r6 additions (VERDICT r5 #2): the round-5 ops that had never
+        # run above sf0.1
+        ("unigram_surprisal", lambda: text.unigram_surprisal(spark, out)),
+        ("as_of_join", lambda: interval.asof_event_profiles(spark, out)),
+        ("binned_range_join", lambda: interval.events_in_windows(spark, out)),
+        ("boilerplate_suite", lambda: text.boilerplate_suite(spark, out)),
         # NOTE: the pair-emitting dedup ops (minhash/simhash/jaccard)
         # are deliberately absent: a 128x-replicated corpus makes
         # EVERY doc a 128-way duplicate, so the output itself is
@@ -84,7 +108,23 @@ def main() -> int:
             t0 = time.monotonic()
             n = fn().count()
             dt = time.monotonic() - t0
-        print(f"{name}: {n} rows in {dt:.1f}s")
+        print(f"{name}: {n} rows in {dt:.1f}s", flush=True)
+
+    # k-core over the EVENT_REPS-replicated triple graph (the full
+    # kernel pipeline runs first — its cost is reported separately so
+    # the kcore number stands alone)
+    with scratch.scope():
+        t0 = time.monotonic()
+        tri = kg_triples(spark, out).cache()
+        edges = graph.iri_edges(tri).cache()
+        n_edges = edges.count()
+        dt = time.monotonic() - t0
+        print(f"edge_build: {n_edges} edges in {dt:.1f}s", flush=True)
+        t0 = time.monotonic()
+        n = graph.kcore_nodes(edges).count()
+        dt = time.monotonic() - t0
+        print(f"kcore_nodes: {n} rows in {dt:.1f}s", flush=True)
+        tri.unpersist(); edges.unpersist()
     return 0
 
 
