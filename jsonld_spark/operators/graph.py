@@ -480,12 +480,24 @@ def negative_samples(edges: DataFrame, k: int, probes: int = NEG_PROBES) -> Data
     return _rank_non_edge_candidates(cand, edges, k)
 
 
-def _rank_non_edge_candidates(cand: DataFrame, edges: DataFrame, k: int) -> DataFrame:
+def _rank_non_edge_candidates(
+    cand: DataFrame, edges: DataFrame, k: int, cand_has_dups: bool = False
+) -> DataFrame:
     """Shared tail of the negative samplers: anti-join real edges and
     self-pairs away, keep each node's ``k`` candidates with the
     smallest md5(node|cand) — a deterministic pseudo-random order both
     engines compute identically on strings. The k-prefix is cut by a
-    row_number window BEFORE any aggregation (window sorts spill)."""
+    rank window BEFORE any aggregation (window sorts spill).
+
+    ``cand_has_dups=True`` (degree-weighted sampler: one pair can
+    arise through two replica buckets): instead of a candidate-level
+    ``.distinct()`` BEFORE the window — a second full shuffle + hash
+    aggregate of the ~1e9-row candidate set that GC-thrashed sf0.1 to
+    death (r6) — duplicates ride through the ONE window shuffle, where
+    ``dense_rank`` over the total order (md5, cand) assigns equal
+    duplicates an equal rank that exactly equals the row_number a
+    pre-deduped stream would get; the duplicate rows (identical after
+    the cut) are then dropped from the k-bounded survivor set."""
     from pyspark.sql.window import Window
 
     non_edges = cand.join(
@@ -496,11 +508,13 @@ def _rank_non_edge_candidates(cand: DataFrame, edges: DataFrame, k: int) -> Data
     w = Window.partitionBy("node").orderBy(
         F.md5(F.concat(F.col("node"), F.lit("|"), F.col("cand"))), F.asc("cand")
     )
-    return (
-        non_edges.withColumn("rank", F.row_number().over(w))
+    rank_fn = F.dense_rank() if cand_has_dups else F.row_number()
+    out = (
+        non_edges.withColumn("rank", rank_fn.over(w))
         .where(F.col("rank") <= k)
         .select("node", F.col("cand").alias("negative"), "rank")
     )
+    return out.dropDuplicates() if cand_has_dups else out
 
 
 NEG_DEG_UNIT = 4       # one candidate replica per UNIT of degree
@@ -561,18 +575,18 @@ def negative_samples_degree(
     # r6: dedup the small inputs before the fan-out join (probe rows
     # per node, replica rows per candidate) — the same (node, cand)
     # pair can still arise through TWO DIFFERENT buckets (distinct
-    # replicas of one candidate), so the final distinct stays, but it
-    # now dedups strictly fewer rows. See negative_samples for the
-    # uniform variant, where the candidate-level distinct drops
-    # entirely.
+    # replicas of one candidate), so the remaining dedup is handled by
+    # the dense_rank form of the shared tail (cand_has_dups=True)
+    # instead of a candidate-level distinct, which double-shuffled the
+    # ~1e9-row candidate set. See negative_samples for the uniform
+    # variant, where candidates are unique by construction.
     cand = (
         probes_df.distinct()
         .join(buckets.distinct(), "bkt")
         .where(F.col("cand") != F.col("node"))
         .select("node", "cand")
-        .distinct()
     )
-    return _rank_non_edge_candidates(cand, edges, k)
+    return _rank_non_edge_candidates(cand, edges, k, cand_has_dups=True)
 
 
 NS_MAX_DEG = 64     # neighbors above this degree carry no signal

@@ -118,6 +118,15 @@ def binned_range_join(
     containment predicate filters. Fan-out per interval row is
     ``ceil(len/bin) + 1``; pick ``bin_seconds`` near the typical
     interval length.
+
+    RESERVED COLUMN NAMES (ADVICE r5): internal working columns
+    ``_k``, ``_p``, ``_s``, ``_e``, ``_bin`` are injected via
+    ``select('*', ...)`` — a ``points``/``intervals`` frame that
+    already contains one of them (or a ``payload_cols`` entry that
+    collides with a points column) raises an ambiguous-column
+    AnalysisException; rename such columns before calling. The as-of
+    join reserves ``_k``, ``_ts``, ``_is_left``, ``_l``, ``_r`` the
+    same way.
     """
     p_epoch = F.col(point_ts).cast("timestamp").cast("long")
     s_epoch = F.col(start_col).cast("timestamp").cast("long")

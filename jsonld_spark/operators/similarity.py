@@ -720,8 +720,11 @@ def embedding_contamination(spark: SparkSession, sf_dir: str,
     construction (embedding_near_duplicates) remains the opt-in when E
     grows beyond broadcast size.
 
-    Output: (vec_id, eval_id, cosine) — training-corpus rows only
-    (eval members are excluded as both sides of themselves).
+    Output: (vec_id, eval_id, cosine). Only SELF-pairs are excluded
+    (vec_id != eval_id): an eval member still appears on the vec_id
+    side when it is near a DIFFERENT eval item — the corpus sweep
+    scores every stored vector, eval members included (ADVICE r5
+    wording fix; the behavior is intentional and oracle-pinned).
 
     The quantized train-side array is materialized BELOW a repartition
     exchange: the cosine references it in three HOF aggregates (dot +

@@ -361,6 +361,7 @@ def kg_adjacency_suite(
 
 
 def kg_adjacency_suite_sql() -> str:
+    from jsonld_spark.operators import graph
     from jsonld_spark.sources import oracle as O
 
     return f"""
@@ -377,8 +378,8 @@ UNION ALL
 SELECT 'charsets', NULL, charset, n_subjects, n_triples
 FROM ({O.kg_characteristic_sets_sql()}) cs
 UNION ALL
-SELECT 'kcore', node, NULL, core_deg, CAST(4 AS BIGINT)
-FROM ({O.kg_kcore_sql()}) kc"""
+SELECT 'kcore', node, NULL, core_deg, CAST({graph.KCORE_K} AS BIGINT)
+FROM ({O.kg_kcore_sql(k=graph.KCORE_K, rounds=graph.KCORE_ROUNDS)}) kc"""
 
 
 # --- bounded + unbounded chain closures (2 -> 1) ---------------------------

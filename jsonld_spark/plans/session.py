@@ -45,7 +45,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # Parquet scan sizing: 128 MiB splits, matching cluster defaults
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Local-mode sizing (r6): this single JVM hosts ALL executor
+        # threads, so the heap must be sized like a whole executor
+        # fleet, not a driver — 8g gave 32 concurrent tasks ~250 MB
+        # each and the billion-row candidate sorts (negative sampling
+        # at sf0.1) died in SPILL_OUT_OF_MEMORY; 24g ≈ 750 MB/task
+        # matches ordinary per-task executor sizing on a real cluster
+        # (guide §5). Overridable via $SPARK_DRIVER_MEMORY.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():
