@@ -36,6 +36,7 @@ def get_spark(
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.session.timeZone", "UTC")
         # Adaptive execution: runtime coalescing + skew-join splitting
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
