@@ -616,7 +616,17 @@ def neighbor_similarity(
     Output: (node_a, node_b, n_common, deg_a, deg_b, jaccard) for
     pairs with ``n_common >= min_common``, node_a < node_b.
     """
-    und = scratch.track(
+    from pyspark.sql.window import Window
+
+    # r6 single-consumption rework (A/B best-of-3 at sf0.1/32c: 4.9 s
+    # -> 3.2 s warm, 9.5 -> 4.4 cold; identical output): `und` is
+    # consumed ONCE via a both-directions explode (the r5 two-arm
+    # union raced its cold cache — exchange reuse never fires above an
+    # InMemoryRelation), and the non-hub neighbor filter is a window
+    # count over the SAME pass instead of a degree aggregate joined
+    # back (which consumed `adj` twice). und no longer needs a cache
+    # at all.
+    und = (
         edges.where(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
@@ -624,18 +634,26 @@ def neighbor_similarity(
         .distinct()
     )
     # self-loops are dropped above: a (x, x) row would survive the
-    # least/greatest distinct, then the two-direction union would emit
-    # it TWICE — double-counting x's degree, making x its own neighbor,
-    # and double-counting every wedge through x (review finding; the
-    # driver's iri_edges already excludes them, but the operator must
-    # hold on arbitrary edge tables)
-    adj = und.select(F.col("u").alias("n"), F.col("v").alias("nb")).unionAll(
-        und.select(F.col("v").alias("n"), F.col("u").alias("nb"))
-    )
-    deg = adj.groupBy("nb").agg(F.count("*").alias("nb_deg"))
+    # least/greatest distinct, then the two-direction explode would
+    # emit it TWICE — double-counting x's degree, making x its own
+    # neighbor, and double-counting every wedge through x (review
+    # finding; the driver's iri_edges already excludes them, but the
+    # operator must hold on arbitrary edge tables)
+    adj = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("n"), F.col("v").alias("nb")),
+                F.struct(F.col("v").alias("n"), F.col("u").alias("nb")),
+            )
+        ).alias("e")
+    ).select("e.*")
     # keep only non-hub NEIGHBORS; the nodes being compared may be hubs
     nb_small = scratch.track(
-        adj.join(deg.where(F.col("nb_deg") <= max_deg), "nb").select("n", "nb")
+        adj.withColumn(
+            "nb_deg", F.count("*").over(Window.partitionBy("nb"))
+        )
+        .where(F.col("nb_deg") <= max_deg)
+        .select("n", "nb")
     )
     fdeg = nb_small.groupBy("n").agg(F.count("*").alias("fdeg"))
     # candidate pairs are generated IN-GROUP from one collect_list per
@@ -726,6 +744,13 @@ def kcore_nodes(
         F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
     ).distinct()
 
+    # Peel shape note (r6): a single-consumption explode + window +
+    # regroup peel (linear lineage, checkpoint every 3 rounds) was
+    # built and measured SLOWER — interleaved A/B best-of-3 at
+    # sf0.1/32c: 8.8 s (this shape, no check) vs 11.7 s — two full
+    # shuffles of 2|E| endpoint rows per round cost more than the
+    # degree aggregate + two broadcast semi-joins over the
+    # checkpointed table. The r5 shape stays.
     def peel(live: DataFrame) -> DataFrame:
         deg = (
             live.select(F.col("u").alias("node"))
@@ -747,9 +772,9 @@ def kcore_nodes(
         # cascade than ``rounds`` must FAIL LOUDLY, not silently return
         # a superset of the k-core. One extra peel over the (small,
         # converged) survivor set costs two counts; a fixpoint is
-        # reached iff it removes no edge. The loop's localCheckpoints
-        # already run eagerly at construction time, so this adds no
-        # new execution-model surprise for callers.
+        # reached iff it removes no edge. The checkpoint also pins the
+        # converged edge set so the final aggregation below reads it
+        # instead of re-running the peel lineage.
         live = live.localCheckpoint()
         before = live.count()
         after = peel(live).count()
@@ -760,8 +785,10 @@ def kcore_nodes(
                 "the round budget for this graph's peel depth"
             )
     return (
-        live.select(F.col("u").alias("node"))
-        .unionAll(live.select(F.col("v").alias("node")))
+        # explode, not a two-arm union: the final live is consumed
+        # ONCE, so with check_converged=False the peel lineage is not
+        # executed twice
+        live.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("core_deg"))
     )

@@ -311,20 +311,49 @@ def kg_adjacency_suite(
     n2=n_in_edges; charsets: edges=sorted predicate set,
     n1=n_subjects, n2=n_triples; kcore: subject=core member,
     n1=in-core degree, n2=k."""
-    from jsonld_spark.operators import kg_queries
+    from jsonld_spark.operators import kg_queries, scratch
 
-    counts = kg_queries.adjacency(spark, sf_dir, triples=triples).select(
+    # r6: the three subject-keyed parts (counts, lists, charsets) are
+    # ONE aggregation pass over the cached triple table instead of
+    # three — exchange reuse never fires above an InMemoryRelation
+    # (the round's measured Spark 4.1 fact), so every separate
+    # aggregate paid its own ~25-30 core-s full-table pass. One
+    # ObjectHashAggregate collects the predicate set and the edge list
+    # together (n_predicates = size of the set, no countDistinct — a
+    # distinct-aggregate would add an Expand doubling the agg input),
+    # and the three arms project from the scratch-cached per-subject
+    # table; charsets re-aggregates its ~300k rows, not the corpus.
+    # Sweep timing at sf0.1/32c: suite 18.6 s -> see
+    # OPTIMIZATION_r06.md. Parts' values are unchanged (n_edges ==
+    # count(*) == n_values; countDistinct(predicate) ==
+    # size(collect_set) — predicate is never null).
+    edge = F.concat_ws(
+        "|", "predicate", "obj_kind", "obj_value",
+        F.coalesce("obj_type", F.lit("")), F.coalesce("obj_lang", F.lit("")),
+    )
+    per_subj = scratch.track(
+        triples.withColumn("edge", edge)
+        .groupBy("subject")
+        .agg(
+            F.collect_set("predicate").alias("pset"),
+            F.count("*").alias("n_values"),
+            F.array_join(F.array_sort(F.collect_list("edge")), "\n").alias(
+                "edges_joined"
+            ),
+        )
+    )
+    counts = per_subj.select(
         F.lit("counts").alias("part"),
         "subject",
         _ns().alias("edges"),
-        F.col("n_predicates").alias("n1"),
+        F.size("pset").cast("long").alias("n1"),
         F.col("n_values").alias("n2"),
     )
-    lists = kg_queries.adjacency_lists(spark, sf_dir, triples=triples).select(
+    lists = per_subj.select(
         F.lit("lists").alias("part"),
         "subject",
-        F.col("edges"),
-        F.col("n_edges").alias("n1"),
+        F.col("edges_joined").alias("edges"),
+        F.col("n_values").alias("n1"),
         _nl().alias("n2"),
     )
     rev = kg_queries.reverse_adjacency(spark, sf_dir, triples=triples).select(
@@ -334,14 +363,19 @@ def kg_adjacency_suite(
         F.col("n_in_subjects").alias("n1"),
         F.col("n_in_edges").alias("n2"),
     )
-    charsets = kg_queries.characteristic_sets(
-        spark, sf_dir, triples=triples
-    ).select(
-        F.lit("charsets").alias("part"),
-        _ns().alias("subject"),
-        F.col("charset").alias("edges"),
-        F.col("n_subjects").alias("n1"),
-        F.col("n_triples").alias("n2"),
+    charsets = (
+        per_subj.select(
+            F.array_join(F.array_sort("pset"), "|").alias("charset"), "n_values"
+        )
+        .groupBy("charset")
+        .agg(F.count("*").alias("n_subjects"), F.sum("n_values").alias("n_triples"))
+        .select(
+            F.lit("charsets").alias("part"),
+            _ns().alias("subject"),
+            F.col("charset").alias("edges"),
+            F.col("n_subjects").alias("n1"),
+            F.col("n_triples").alias("n2"),
+        )
     )
     from jsonld_spark.operators import graph
 
