@@ -471,68 +471,20 @@ def frame_subgraph(
     if explicit is None:
         explicit = frame.get("@explicit", False)
 
-    if not explicit and embed is not False and triples.is_cached:
-        # r6 shape for the simple-frame closure over a CACHED triple
-        # table (stage-profiled; A/B best-of-3 at sf0.1/32c: r4/r5
-        # semi-join chain 5.2 s, scratch-cached semi-join chain 3.5 s,
-        # THIS 3.2 s): compute the matched subjects' TRIPLES in ONE
-        # pass — per-key max() match flags over a subject window,
-        # filter on the flags — instead of frame_select's aggregate
-        # followed by a second full pass for the semi-join. Every pass
-        # over the cached 2M-row table costs ~25 core-s, and exchange
-        # reuse CANNOT dedup them (Spark 4.1 never reuses exchanges
-        # above an InMemoryRelation — verified empirically this
-        # round), so pass count is the whole game. Gated on is_cached:
-        # over a PARQUET snapshot the r4 chain below keeps its
-        # per-constraint PushedFilters scans (plan-guarded,
-        # test_plans.py::test_frame_query_pushes_filters_to_parquet_scan)
-        # — a selective frame there reads only matching row groups,
-        # which beats one full-table window pass; a cache scan has no
-        # row-group pruning to lose. t_matched is scratch-cached: the
-        # output union arm, the hop-frontier chain, and the frontier
-        # anti-join all consume it. Output equality: the unioned
-        # per-hop triple sets partition triples-semi-`seen` by
-        # disjoint subject sets.
-        from pyspark.sql.window import Window
-
-        try:
-            pos, neg = _simple_frame_conditions(_strip_framing_keywords(frame))
-        except _NeedsJoinPath:
-            pos = []
-        if pos:
-            w = Window.partitionBy("subject")
-            conds = pos + neg
-            flagged = triples
-            for i, c in enumerate(conds):
-                flagged = flagged.withColumn(
-                    f"_m{i}", F.max(F.when(c, F.lit(1)).otherwise(F.lit(0))).over(w)
-                )
-            keep = F.col("_m0") == 1
-            for i in range(1, len(pos)):
-                keep = keep & (F.col(f"_m{i}") == 1)
-            for j in range(len(pos), len(conds)):
-                keep = keep & (F.col(f"_m{j}") == 0)
-            t_matched = scratch.track(
-                flagged.where(keep).drop(*[f"_m{i}" for i in range(len(conds))])
-            )
-            result = t_matched
-            seen = t_matched.select("subject")  # anti dedups; no distinct
-            hop_src = t_matched
-            for _ in range(depth):
-                objs = (
-                    hop_src.where(F.col("obj_kind") == "iri")
-                    .select(F.col("obj_value").alias("subject"))
-                    .distinct()
-                )
-                frontier = objs.join(seen, "subject", "left_anti")
-                t_frontier = scratch.track(
-                    triples.join(frontier, "subject", "left_semi")
-                )
-                result = result.unionByName(t_frontier)
-                seen = seen.unionByName(t_frontier.select("subject"))
-                hop_src = t_frontier
-            return result
-
+    # A one-pass window-flag shape for the cached-table case (per-key
+    # max() match flags over a subject window instead of frame_select's
+    # aggregate + semi-join) was built this round, measured, and
+    # REMOVED: isolated with nothing else resident it wins (best-of-4
+    # 2.95 s vs 3.50 s at sf0.1/32c), but in the bench sequence — where
+    # the pagerank family's edge cache and scratch tables are still
+    # resident, exactly bench.py's state — the full-table window sort
+    # competes with storage for execution memory and loses (interleaved
+    # in-context A/B best-of-3: window 5.70/11.2/12.7 s vs THIS chain
+    # 5.24/6.2/6.5 s). The chain only shuffles matched-subject rows
+    # (≪ corpus — the scale-safe shape) and keeps the per-constraint
+    # PushedFilters scans over parquet snapshots (plan-guarded,
+    # test_plans.py::test_frame_query_pushes_filters_to_parquet_scan).
+    #
     # matched feeds the hop join, the seen union, AND the final semi-
     # join — uncached, its frame semi-joins would recompute per
     # consumer. Scratch-tracked like the graph family; caller releases.
