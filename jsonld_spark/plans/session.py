@@ -36,7 +36,19 @@ def get_spark(
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.session.timeZone", "UTC")
         # Adaptive execution: runtime coalescing + skew-join splitting
-        .config("spark.io.compression.codec", "zstd")
+        # io codec (r6, measured twice): a process-interleaved per-QUERY
+        # A/B (2 bench.py runs each way) has lz4 at-or-ahead on 11/12
+        # headline mins (sim_lsh_ann_topk 1.50 vs 1.68, rel_suite 1.05
+        # vs 1.31, text_stats 0.48 vs 0.59, frame 4.97 vs 5.42) — zstd's
+        # CPU cost shows up in every cache/shuffle-heavy query, and the
+        # earlier "wash" verdict compared only noisy totals. zstd's win
+        # is spill RATIO: the ~1e9-row candidate sort of degree-weighted
+        # negative sampling at sf0.1 fills the sandbox disk under lz4
+        # and survives under zstd — so large-volume spilling jobs opt in
+        # via SPARK_GRAFT_IO_CODEC=zstd (tools/volume_check.py and the
+        # sf0.1 sweep do); the default stays Spark's lz4.
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

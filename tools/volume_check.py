@@ -37,6 +37,9 @@ OFFSET = 10**7
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/volume_check_corpus"
+    # replicated-corpus jobs spill; zstd's spill ratio is what lets
+    # them fit the sandbox disk (see plans/session.py codec note)
+    os.environ.setdefault("SPARK_GRAFT_IO_CODEC", "zstd")
     spark = get_spark(app_name="volume-check", cores=32,
                       shuffle_partitions=64)
 
